@@ -1,0 +1,348 @@
+"""Dependency-graph data model and pickle codec.
+
+The sentence representation the whole engine works over: a list of
+tokens (with POS tag, token-index interval, char offset) plus labeled
+directed edges governor -> dependent.  The serialized ("pickled") text
+format is the reference's graph interchange format
+(/root/reference/core test specs, e.g. OllieSpec.scala:21):
+
+    (standalone ", ")* edge ("; " edge)*
+    standalone := "(" node ")"
+    edge       := label "(" node ", " node ")"
+    node       := text "_" POSTAG "_" tokenIndex "_" charOffset
+
+Token intervals are half-open [start, end); a single token i covers
+[i, i+1).  Graph simplifications mirror the reference's runtime path
+(OpenParse.scala:38-54): Stanford-style collapsing (prep/pobj ->
+prep_X, conj/cc -> conj_X) and postag simplification (NNS->NN, ...).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import cached_property
+
+
+# ---------------------------------------------------------------- intervals
+
+def span_of(intervals):
+    """Smallest half-open interval covering all (start, end) pairs."""
+    its = list(intervals)
+    if not its:
+        return (0, 0)
+    return (min(i[0] for i in its), max(i[1] for i in its))
+
+
+def intersects(a, b):
+    return a[0] < b[1] and b[0] < a[1]
+
+
+def borders(a, b):
+    """Adjacent but not overlapping: [x, b) borders [b, y)."""
+    return a[1] == b[0] or b[1] == a[0]
+
+
+def superset(a, b):
+    return a[0] <= b[0] and a[1] >= b[1]
+
+
+def interval_distance(a, b):
+    """max(a.min - b.max, b.min - a.max) with inclusive max = end - 1.
+
+    Adjacent tokens have distance 1; overlapping intervals < 1.
+    """
+    return max(a[0] - (b[1] - 1), b[0] - (a[1] - 1))
+
+
+def interval_lt(a, b):
+    """Lexicographic (start, end) ordering used for 'before' checks."""
+    return a < b
+
+
+# ------------------------------------------------------------------- nodes
+
+PRONOUN_TAGS = frozenset({"PRP", "PRP$", "WP", "WP$"})
+
+
+@dataclass(frozen=True, order=False)
+class Node:
+    """A token: text, POS tag, covered token interval, char offset."""
+
+    text: str
+    postag: str
+    start: int          # first token index covered
+    end: int            # one past the last token index covered
+    offset: int = 0     # char offset in the source sentence
+
+    @property
+    def indices(self):
+        return (self.start, self.end)
+
+    @property
+    def sort_key(self):
+        return (self.start, self.end, self.text)
+
+    @property
+    def is_proper_noun(self):
+        return self.postag == "NNP" or self.postag == "NNPS"
+
+    @property
+    def is_pronoun(self):
+        return self.postag in PRONOUN_TAGS
+
+    @property
+    def is_noun(self):
+        return self.postag.startswith("NN")
+
+    @property
+    def is_verb(self):
+        return self.postag.startswith("VB") or self.postag == "MD"
+
+    @property
+    def is_verb_gerund(self):
+        return self.postag == "VBG"
+
+    def with_postag(self, postag):
+        return Node(self.text, postag, self.start, self.end, self.offset)
+
+    def serialize(self):
+        return f"{self.text}_{self.postag}_{self.start}_{self.offset}"
+
+
+@dataclass(frozen=True)
+class Edge:
+    """A labeled dependency edge from governor (src) to dependent (dst)."""
+
+    label: str
+    src: Node
+    dst: Node
+
+    def nodes(self):
+        return (self.src, self.dst)
+
+
+def parse_node(s: str) -> Node:
+    """Parse ``text_POSTAG_index_offset``; text itself may contain '_'."""
+    parts = s.rsplit("_", 3)
+    if len(parts) != 4:
+        raise ValueError(f"bad node pickle: {s!r}")
+    text, postag, idx, off = parts
+    i = int(idx)
+    return Node(text, postag, i, i + 1, int(off))
+
+
+# ------------------------------------------------------------------- graph
+
+# postag simplification of the reference runtime (plural -> singular).
+_SIMPLIFY_POSTAG = {"NNS": "NN", "NNPS": "NNP", "JJS": "JJ"}
+
+
+class DependencyGraph:
+    """A sentence's dependency graph.
+
+    ``nodes`` contains every token (including standalone tokens that the
+    collapsed tree dropped, e.g. collapsed prepositions); ``edges`` the
+    labeled tree/graph edges.
+    """
+
+    __slots__ = ("nodes", "edges", "_text", "__dict__")
+
+    def __init__(self, nodes, edges, text=None):
+        seen = {}
+        for n in list(nodes) + [n for e in edges for n in (e.src, e.dst)]:
+            seen.setdefault(n.sort_key, n)
+        self.nodes = sorted(seen.values(), key=lambda n: n.sort_key)
+        self.edges = list(edges)
+        self._text = text
+
+    # -- codec ------------------------------------------------------------
+
+    @classmethod
+    def deserialize(cls, pickled: str, text: str | None = None) -> "DependencyGraph":
+        nodes, edges = [], []
+        for chunk in _split_pickle(pickled):
+            chunk = chunk.strip()
+            if not chunk:
+                continue
+            if chunk.startswith("(") and chunk.endswith(")") and "(" not in chunk[1:]:
+                nodes.append(parse_node(chunk[1:-1]))
+            else:
+                lparen = chunk.index("(")
+                label = chunk[:lparen]
+                inner = chunk[lparen + 1:chunk.rindex(")")]
+                src_s, dst_s = inner.split(", ", 1)
+                edges.append(Edge(label, parse_node(src_s), parse_node(dst_s)))
+        return cls(nodes, edges, text=text)
+
+    def serialize(self) -> str:
+        attached = {n.sort_key for e in self.edges for n in (e.src, e.dst)}
+        standalone = [f"({n.serialize()})" for n in self.nodes
+                      if n.sort_key not in attached]
+        edges = [f"{e.label}({e.src.serialize()}, {e.dst.serialize()})"
+                 for e in self.edges]
+        return ", ".join(standalone + [("; ".join(edges))]) if standalone \
+            else "; ".join(edges)
+
+    @property
+    def text(self) -> str:
+        if self._text is not None:
+            return self._text
+        return " ".join(n.text for n in self.nodes)
+
+    @property
+    def interval(self):
+        return span_of(n.indices for n in self.nodes)
+
+    # -- adjacency ---------------------------------------------------------
+
+    @cached_property
+    def _out(self):
+        out = {}
+        for e in self.edges:
+            out.setdefault(e.src.sort_key, []).append(e)
+        return out
+
+    @cached_property
+    def _in(self):
+        inc = {}
+        for e in self.edges:
+            inc.setdefault(e.dst.sort_key, []).append(e)
+        return inc
+
+    @cached_property
+    def edge_labels(self):
+        return frozenset(e.label for e in self.edges)
+
+    def out_edges(self, node):
+        return self._out.get(node.sort_key, ())
+
+    def in_edges(self, node):
+        return self._in.get(node.sort_key, ())
+
+    def incident(self, node):
+        """All edges touching node (both directions)."""
+        return list(self.out_edges(node)) + list(self.in_edges(node))
+
+    def successors(self, node, pred=None):
+        """Dependents of node via out-edges satisfying pred(edge)."""
+        return [e.dst for e in self.out_edges(node) if pred is None or pred(e)]
+
+    def predecessors(self, node, pred=None):
+        """Governors of node via in-edges satisfying pred(edge)."""
+        return [e.src for e in self.in_edges(node) if pred is None or pred(e)]
+
+    def inferiors(self, node, pred=None):
+        """node plus all descendants reachable via edges satisfying pred."""
+        seen = {node.sort_key: node}
+        stack = [node]
+        while stack:
+            cur = stack.pop()
+            for e in self.out_edges(cur):
+                if (pred is None or pred(e)) and e.dst.sort_key not in seen:
+                    seen[e.dst.sort_key] = e.dst
+                    stack.append(e.dst)
+        return list(seen.values())
+
+    def connected(self, node, dpred):
+        """node plus everything reachable over edges in either direction.
+
+        ``dpred(edge, down)`` sees the traversal direction: down=True when
+        following governor->dependent, with ``end`` = the far node.
+        """
+        seen = {node.sort_key: node}
+        stack = [node]
+        while stack:
+            cur = stack.pop()
+            for e in self.out_edges(cur):
+                if e.dst.sort_key not in seen and dpred(e, True):
+                    seen[e.dst.sort_key] = e.dst
+                    stack.append(e.dst)
+            for e in self.in_edges(cur):
+                if e.src.sort_key not in seen and dpred(e, False):
+                    seen[e.src.sort_key] = e.src
+                    stack.append(e.src)
+        return list(seen.values())
+
+    # -- simplifications ----------------------------------------------------
+
+    def simplify_postags(self) -> "DependencyGraph":
+        def fix(n):
+            return n.with_postag(_SIMPLIFY_POSTAG.get(n.postag, n.postag))
+        return self._map_nodes(fix)
+
+    def simplify_vb_postags(self) -> "DependencyGraph":
+        def fix(n):
+            return n.with_postag("VB") if n.postag.startswith("VB") else n
+        return self._map_nodes(fix)
+
+    def _map_nodes(self, fix):
+        mapping = {n.sort_key: fix(n) for n in self.nodes}
+        edges = [Edge(e.label, mapping[e.src.sort_key], mapping[e.dst.sort_key])
+                 for e in self.edges]
+        return DependencyGraph(mapping.values(), edges, text=self._text)
+
+    def collapse(self) -> "DependencyGraph":
+        """Stanford-style collapsing: prep+pobj -> prep_X(gov, obj),
+        prep+pcomp -> prepc_X, conj+cc -> conj_X.  Absorbed tokens stay
+        in ``nodes`` as standalone tokens (needed for span expansion).
+        Already-collapsed graphs pass through unchanged.
+        """
+        out = self._out
+        drop = set()
+        new_edges = []
+        # conjunction labels: find cc children per governor
+        cc_word = {}
+        for e in self.edges:
+            if e.label == "cc":
+                cc_word[e.src.sort_key] = e.dst.text.lower()
+        for e in self.edges:
+            if e.label == "prep":
+                prep = e.dst
+                objs = [x for x in out.get(prep.sort_key, ()) if x.label == "pobj"]
+                comps = [x for x in out.get(prep.sort_key, ()) if x.label == "pcomp"]
+                if objs:
+                    for o in objs:
+                        new_edges.append(Edge("prep_" + prep.text.lower(), e.src, o.dst))
+                    drop.add(("edge", id(e)))
+                    continue
+                if comps:
+                    for o in comps:
+                        new_edges.append(Edge("prepc_" + prep.text.lower(), e.src, o.dst))
+                    drop.add(("edge", id(e)))
+                    continue
+                new_edges.append(e)
+            elif e.label in ("pobj", "pcomp") and any(
+                    pe.label == "prep" and pe.dst.sort_key == e.src.sort_key
+                    for pe in self.in_edges(e.src)):
+                continue  # absorbed into prep_X above
+            elif e.label == "cc" and e.src.sort_key in cc_word:
+                continue  # absorbed into conj_X
+            elif e.label == "conj" and e.src.sort_key in cc_word:
+                new_edges.append(Edge("conj_" + cc_word[e.src.sort_key], e.src, e.dst))
+            else:
+                new_edges.append(e)
+        return DependencyGraph(self.nodes, new_edges, text=self._text)
+
+
+def _split_pickle(pickled: str):
+    """Split the pickle on top-level ', ' / '; ' separators.
+
+    Node text may contain commas (e.g. ',_,_24_0'), so track parens:
+    a separator only counts at depth 0.
+    """
+    chunks, depth, start, i = [], 0, 0, 0
+    n = len(pickled)
+    while i < n:
+        c = pickled[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth = max(0, depth - 1)
+        elif depth == 0 and (c == "," or c == ";") and i + 1 < n and pickled[i + 1] == " ":
+            chunks.append(pickled[start:i])
+            i += 2
+            start = i
+            continue
+        i += 1
+    chunks.append(pickled[start:])
+    return chunks
