@@ -1,0 +1,174 @@
+"""The extraction pipeline: documents -> sentences -> mentions.
+
+Spark shape (SURVEY.md §3.1): ``documents`` scan -> ``posexplode(spans)``
+-> parse UDF -> extract UDF -> native confidence expression -> filter.
+The only Python is two Arrow-batched ``mapInPandas`` stages (parse,
+extract); scoring is a Spark SQL dot-product + sigmoid so it stays in
+whole-stage codegen.  No shuffle anywhere in this file — extraction is
+embarrassingly parallel per input partition; shuffles first appear in
+linking/nary/materialize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                               StringType, StructField, StructType)
+
+SPAN_T = StructType([StructField("start", IntegerType()),
+                     StructField("end", IntegerType())])
+
+MENTIONS_SCHEMA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("span_idx", IntegerType()),
+    StructField("sent_idx", IntegerType()),
+    StructField("arg1_text", StringType()),
+    StructField("rel_text", StringType()),
+    StructField("arg2_text", StringType()),
+    StructField("arg1_span", SPAN_T),
+    StructField("rel_span", SPAN_T),
+    StructField("arg2_span", SPAN_T),
+    StructField("enabler", StructType([
+        StructField("prefix", StringType()),
+        StructField("phrase", StringType()),
+        StructField("span", SPAN_T)])),
+    StructField("attribution", StructType([
+        StructField("arg", StringType()),
+        StructField("arg_span", SPAN_T),
+        StructField("rel", StringType()),
+        StructField("rel_span", SPAN_T)])),
+    StructField("pattern", StringType()),
+    StructField("openparse_conf", DoubleType()),
+    StructField("features", ArrayType(DoubleType())),
+    StructField("error", StringType()),
+])
+
+# per-worker extractor singleton (the broadcast-equivalent for the
+# pattern model: loaded once per executor python worker, reused across
+# Arrow batches)
+_OLLIE = None
+
+
+def _get_ollie():
+    global _OLLIE
+    if _OLLIE is None:
+        from ..extract.ollie import Ollie
+        _OLLIE = Ollie()
+    return _OLLIE
+
+
+def sentences(documents: DataFrame) -> DataFrame:
+    """R1: explode interleaved spans; keep text spans; media spans are
+    untouched by construction (they simply don't enter this path)."""
+    return (documents
+            .select("doc_id",
+                    F.posexplode("spans").alias("span_idx", "span"))
+            .where(F.col("span.kind") == "text")
+            .select("doc_id",
+                    F.col("span_idx").cast("int").alias("span_idx"),
+                    F.col("span.text").alias("text")))
+
+
+def extract_mentions(sents: DataFrame) -> DataFrame:
+    """R3-R18 + R20: parse + match + expand + features, one Arrow batch
+    at a time.  Errors are shielded per row into an ``error`` column
+    (reference --ignore-errors, OpenParse.scala:376-379)."""
+
+    def run(batches):
+        import pandas as pd
+        from .synth import parse_text
+
+        ollie = _get_ollie()
+        for pdf in batches:
+            rows = []
+            for doc_id, span_idx, text in zip(
+                    pdf["doc_id"], pdf["span_idx"], pdf["text"]):
+                try:
+                    graph = parse_text(text)
+                    if graph is None:
+                        rows.append(_error_row(doc_id, span_idx,
+                                               "unparseable"))
+                        continue
+                    for r in ollie.extract(graph):
+                        rows.append({
+                            "doc_id": doc_id,
+                            "span_idx": int(span_idx),
+                            "sent_idx": 0,
+                            "arg1_text": r.arg1_text,
+                            "rel_text": r.rel_text,
+                            "arg2_text": r.arg2_text,
+                            "arg1_span": _sp(r.arg1_span),
+                            "rel_span": _sp(r.rel_span),
+                            "arg2_span": _sp(r.arg2_span),
+                            "enabler": None if r.enabler is None else {
+                                "prefix": r.enabler.prefix,
+                                "phrase": r.enabler.phrase,
+                                "span": _sp(r.enabler.span)},
+                            "attribution":
+                                None if r.attribution is None else {
+                                    "arg": r.attribution.arg,
+                                    "arg_span": _sp(r.attribution.arg_span),
+                                    "rel": r.attribution.rel,
+                                    "rel_span": _sp(r.attribution.rel_span)},
+                            "pattern": r.pattern,
+                            "openparse_conf": float(r.openparse_conf),
+                            "features": list(r.features),
+                            "error": None,
+                        })
+                except Exception as e:  # noqa: BLE001 — error shielding
+                    rows.append(_error_row(doc_id, span_idx,
+                                           f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MENTIONS_SCHEMA.fields])
+
+    return sents.mapInPandas(run, schema=MENTIONS_SCHEMA)
+
+
+def _sp(span):
+    return {"start": int(span[0]), "end": int(span[1])}
+
+
+def _error_row(doc_id, span_idx, msg):
+    return {"doc_id": doc_id, "span_idx": int(span_idx), "sent_idx": 0,
+            "arg1_text": None, "rel_text": None, "arg2_text": None,
+            "arg1_span": None, "rel_span": None, "arg2_span": None,
+            "enabler": None, "attribution": None, "pattern": None,
+            "openparse_conf": None, "features": None, "error": msg}
+
+
+def score(mentions: DataFrame, intercept: float,
+          weights_ordered: list[float]) -> DataFrame:
+    """R21: conf = sigmoid(intercept + w·f) as a native SQL expression
+    over the feature array — JVM-side, whole-stage codegen."""
+    w = F.array(*[F.lit(float(x)) for x in weights_ordered])
+    z = F.aggregate(
+        F.zip_with("features", w, lambda f, wi: f * wi),
+        F.lit(float(intercept)),
+        lambda acc, x: acc + x)
+    return mentions.withColumn(
+        "conf",
+        F.when(F.col("error").isNull(),
+               F.lit(1.0) / (F.lit(1.0) + F.exp(-z))))
+
+
+def run_extraction(documents: DataFrame,
+                   conf_threshold: float = 0.0) -> DataFrame:
+    """documents -> scored mentions (errors filtered out)."""
+    from ..model.loader import load_classifier
+    from ..extract.features import feature_names
+    intercept, weights = load_classifier()
+    order = feature_names(weights)
+    scored = score(extract_mentions(sentences(documents)),
+                   intercept, [weights[n] for n in order])
+    return (scored
+            .where(F.col("error").isNull())
+            .where(F.col("conf") >= F.lit(conf_threshold))
+            .drop("features", "error"))
+
+
+def extraction_errors(documents: DataFrame) -> DataFrame:
+    """The shielded-error rows, for the metrics table."""
+    m = extract_mentions(sentences(documents))
+    return m.where(F.col("error").isNotNull()).select(
+        "doc_id", "span_idx", "error")

@@ -1,0 +1,295 @@
+"""Deterministic synthetic sentence bank + template parser.
+
+The corpus generator (corpus.py) renders sentences from closed
+vocabularies through a handful of dependency templates; the pluggable
+"parser" re-derives the dependency graph from the text by recognizing
+the template.  Both sides share the same builder, so they cannot drift.
+Fixture sentences from the reference test suite are embedded via an
+exact text -> pickle lookup, so correctness cases live inside the
+corpus (FIXTURES.md §1).
+
+Everything is pure and hash-deterministic: no wall-clock, no global RNG.
+"""
+
+from __future__ import annotations
+
+import random
+
+from ..graph import DependencyGraph, Edge, Node
+
+FIRST = ("Alice Brandon Carla David Elena Frank Grace Hiro Irene Jamal "
+         "Karen Liam Maria Noah Olga Pedro Quinn Rosa Samir Tina").split()
+LAST = ("Anderson Baker Chen Dawson Eriksen Fischer Garcia Hopkins Ivanov "
+        "Jensen Kumar Larsen Meyer Novak Okafor Patel Quiroga Rossi "
+        "Suzuki Turner").split()
+ORG = ("Acme Globex Initech Umbrella Hooli Vandelay Cyberdyne Tyrell "
+       "Monarch Zenith").split()
+PLACE = ("Seattle Boston Madrid Tokyo Cairo Lagos Lima Oslo Paris "
+         "Delhi").split()
+NOUN = ("company team museum report bridge festival garden library "
+        "engine harbor").split()
+RELNOUN = "president founder director chairman owner manager".split()
+VBD = "founded acquired visited praised joined admired".split()
+VBN = "born raised educated".split()
+SAY = "said claimed believes thinks reported".split()
+
+_FIRST, _LAST, _ORG = set(FIRST), set(LAST), set(ORG)
+_PLACE, _NOUN, _RELNOUN = set(PLACE), set(NOUN), set(RELNOUN)
+_VBD, _VBN, _SAY = set(VBD), set(VBN), set(SAY)
+
+
+def _n(text, tag, i):
+    return Node(text, tag, i, i + 1, 0)
+
+
+def _g(nodes, edges):
+    return DependencyGraph(nodes, edges)
+
+
+# Each template: name, arity of slot tuple, build(slots) -> (text, graph,
+# expected [(arg1, rel, arg2, enabler, attribution)]), recognize(tokens)
+# -> slots | None.
+
+def _t1_build(s):
+    f, l, v, n = s
+    toks = [_n(f, "NNP", 0), _n(l, "NNP", 1), _n(v, "VBD", 2),
+            _n("the", "DT", 3), _n(n, "NN", 4), _n(".", ".", 5)]
+    edges = [Edge("nn", toks[1], toks[0]), Edge("nsubj", toks[2], toks[1]),
+             Edge("dobj", toks[2], toks[4]), Edge("det", toks[4], toks[3]),
+             Edge("punct", toks[2], toks[5])]
+    text = f"{f} {l} {v} the {n} ."
+    return text, _g(toks, edges), [(f"{f} {l}", v, f"the {n}", None, None)]
+
+
+def _t1_rec(t):
+    if (len(t) == 6 and t[0] in _FIRST and t[1] in _LAST and t[2] in _VBD
+            and t[3] == "the" and t[4] in _NOUN and t[5] == "."):
+        return (t[0], t[1], t[2], t[4])
+    return None
+
+
+def _t2_build(s):
+    f, l, r, o = s
+    toks = [_n(f, "NNP", 0), _n(l, "NNP", 1), _n("is", "VBZ", 2),
+            _n("the", "DT", 3), _n(r, "NN", 4), _n("of", "IN", 5),
+            _n(o, "NNP", 6), _n(".", ".", 7)]
+    edges = [Edge("nn", toks[1], toks[0]), Edge("nsubj", toks[4], toks[1]),
+             Edge("cop", toks[4], toks[2]), Edge("det", toks[4], toks[3]),
+             Edge("prep_of", toks[4], toks[6]),
+             Edge("punct", toks[4], toks[7])]
+    text = f"{f} {l} is the {r} of {o} ."
+    return text, _g(toks, edges), [
+        (f"{f} {l}", f"is the {r} of", o, None, None),
+        # the copular pattern also fires with the full predicate as arg2
+        (f"{f} {l}", "is", f"the {r} of {o}", None, None)]
+
+
+def _t2_rec(t):
+    if (len(t) == 8 and t[0] in _FIRST and t[1] in _LAST and t[2] == "is"
+            and t[3] == "the" and t[4] in _RELNOUN and t[5] == "of"
+            and t[6] in _ORG and t[7] == "."):
+        return (t[0], t[1], t[4], t[6])
+    return None
+
+
+def _t3_build(s):
+    f, l, v, p = s
+    toks = [_n(f, "NNP", 0), _n(l, "NNP", 1), _n("was", "VBD", 2),
+            _n(v, "VBN", 3), _n("in", "IN", 4), _n(p, "NNP", 5),
+            _n(".", ".", 6)]
+    edges = [Edge("nn", toks[1], toks[0]),
+             Edge("nsubjpass", toks[3], toks[1]),
+             Edge("auxpass", toks[3], toks[2]),
+             Edge("prep_in", toks[3], toks[5]),
+             Edge("punct", toks[3], toks[6])]
+    text = f"{f} {l} was {v} in {p} ."
+    expected = [(f"{f} {l}", f"was {v} in", p, None, None)]
+    if v == "born":
+        # the learned model contains prep-rewrite templates for the
+        # 'bear' semantic class ("born in" -> "born at"/"born on")
+        expected += [(f"{f} {l}", "was born at", p, None, None),
+                     (f"{f} {l}", "was born on", p, None, None)]
+    return text, _g(toks, edges), expected
+
+
+def _t3_rec(t):
+    if (len(t) == 7 and t[0] in _FIRST and t[1] in _LAST and t[2] == "was"
+            and t[3] in _VBN and t[4] == "in" and t[5] in _PLACE
+            and t[6] == "."):
+        return (t[0], t[1], t[3], t[5])
+    return None
+
+
+def _t4_build(s):
+    f1, l1, say, f2, l2, v, n = s
+    toks = [_n(f1, "NNP", 0), _n(l1, "NNP", 1), _n(say, "VBD", 2),
+            _n(f2, "NNP", 3), _n(l2, "NNP", 4), _n(v, "VBD", 5),
+            _n("the", "DT", 6), _n(n, "NN", 7), _n(".", ".", 8)]
+    edges = [Edge("nn", toks[1], toks[0]), Edge("nsubj", toks[2], toks[1]),
+             Edge("nn", toks[4], toks[3]), Edge("nsubj", toks[5], toks[4]),
+             Edge("ccomp", toks[2], toks[5]),
+             Edge("dobj", toks[5], toks[7]), Edge("det", toks[7], toks[6]),
+             Edge("punct", toks[2], toks[8])]
+    text = f"{f1} {l1} {say} {f2} {l2} {v} the {n} ."
+    return text, _g(toks, edges), [
+        (f"{f2} {l2}", v, f"the {n}", None, f"{f1} {l1} {say}")]
+
+
+def _t4_rec(t):
+    if (len(t) == 9 and t[0] in _FIRST and t[1] in _LAST and t[2] in _SAY
+            and t[3] in _FIRST and t[4] in _LAST and t[5] in _VBD
+            and t[6] == "the" and t[7] in _NOUN and t[8] == "."):
+        return tuple(t[:6]) + (t[7],)
+    return None
+
+
+def _t5_build(s):
+    f, l, n = s
+    toks = [_n("If", "IN", 0), _n("it", "PRP", 1), _n("rains", "VBZ", 2),
+            _n(",", ",", 3), _n(f, "NNP", 4), _n(l, "NNP", 5),
+            _n("stays", "VBZ", 6), _n("in", "IN", 7), _n("the", "DT", 8),
+            _n(n, "NN", 9), _n(".", ".", 10)]
+    edges = [Edge("mark", toks[2], toks[0]), Edge("nsubj", toks[2], toks[1]),
+             Edge("advcl", toks[6], toks[2]),
+             Edge("nn", toks[5], toks[4]), Edge("nsubj", toks[6], toks[5]),
+             Edge("prep_in", toks[6], toks[9]),
+             Edge("det", toks[9], toks[8]),
+             Edge("punct", toks[6], toks[10])]
+    text = f"If it rains , {f} {l} stays in the {n} ."
+    return text, _g(toks, edges), [
+        (f"{f} {l}", "stays in", f"the {n}", "If it rains", None)]
+
+
+def _t5_rec(t):
+    if (len(t) == 11 and t[0] == "If" and t[2] == "rains" and t[3] == ","
+            and t[4] in _FIRST and t[5] in _LAST and t[6] == "stays"
+            and t[9] in _NOUN and t[10] == "."):
+        return (t[4], t[5], t[9])
+    return None
+
+
+def _t6_build(s):
+    f, l, p1, p2 = s
+    toks = [_n(f, "NNP", 0), _n(l, "NNP", 1), _n("moved", "VBD", 2),
+            _n("from", "IN", 3), _n(p1, "NNP", 4), _n("to", "IN", 5),
+            _n(p2, "NNP", 6), _n(".", ".", 7)]
+    edges = [Edge("nn", toks[1], toks[0]), Edge("nsubj", toks[2], toks[1]),
+             Edge("prep_from", toks[2], toks[4]),
+             Edge("prep_to", toks[2], toks[6]),
+             Edge("punct", toks[2], toks[7])]
+    text = f"{f} {l} moved from {p1} to {p2} ."
+    return text, _g(toks, edges), [
+        (f"{f} {l}", "moved from", p1, None, None),
+        (f"{f} {l}", "moved to", p2, None, None)]
+
+
+def _t6_rec(t):
+    if (len(t) == 8 and t[0] in _FIRST and t[1] in _LAST and t[2] == "moved"
+            and t[3] == "from" and t[4] in _PLACE and t[5] == "to"
+            and t[6] in _PLACE and t[7] == "."):
+        return (t[0], t[1], t[4], t[6])
+    return None
+
+
+def _pick(rng, xs):
+    return xs[rng.randrange(len(xs))]
+
+
+TEMPLATES = [
+    # (weight, build, recognize, slot_sampler)
+    (4, _t1_build, _t1_rec,
+     lambda r: (_pick(r, FIRST), _pick(r, LAST), _pick(r, VBD),
+                _pick(r, NOUN))),
+    (3, _t2_build, _t2_rec,
+     lambda r: (_pick(r, FIRST), _pick(r, LAST), _pick(r, RELNOUN),
+                _pick(r, ORG))),
+    (2, _t3_build, _t3_rec,
+     lambda r: (_pick(r, FIRST), _pick(r, LAST), _pick(r, VBN),
+                _pick(r, PLACE))),
+    (2, _t4_build, _t4_rec,
+     lambda r: (_pick(r, FIRST), _pick(r, LAST), _pick(r, SAY),
+                _pick(r, FIRST), _pick(r, LAST), _pick(r, VBD),
+                _pick(r, NOUN))),
+    (1, _t5_build, _t5_rec,
+     lambda r: (_pick(r, FIRST), _pick(r, LAST), _pick(r, NOUN))),
+    (1, _t6_build, _t6_rec,
+     lambda r: (_pick(r, FIRST), _pick(r, LAST), _pick(r, PLACE),
+                _pick(r, PLACE))),
+]
+
+_CUM = []
+_total = 0
+for _w, *_rest in TEMPLATES:
+    _total += _w
+    _CUM.append(_total)
+
+
+def sample_sentence(rng: random.Random):
+    """-> (text, graph, expected triples)."""
+    x = rng.randrange(_total)
+    for i, c in enumerate(_CUM):
+        if x < c:
+            _, build, _, sample = TEMPLATES[i]
+            return build(sample(rng))
+    raise AssertionError
+
+
+def parse_text(text: str) -> DependencyGraph | None:
+    """The pluggable parser for synthetic + fixture sentences.
+
+    Exact fixture lookup first, then template recognition; None for
+    unparseable text (shielded as an error metric downstream, mirroring
+    the reference's --ignore-errors path, OpenParse.scala:376-379).
+    """
+    fx = FIXTURE_PARSES.get(text)
+    if fx is not None:
+        return DependencyGraph.deserialize(fx, text=text)
+    toks = text.split(" ")
+    for _, build, rec, _ in TEMPLATES:
+        slots = rec(toks)
+        if slots is not None:
+            _, graph, _ = build(slots)
+            return graph
+    return None
+
+
+# ----------------------------------------------------- embedded fixtures
+
+# Reference-spec sentences (text -> graph pickle) embedded in the corpus
+# so the correctness cases flow through the full pipeline
+# (FIXTURES.md §2-3).  Expected triples per fixture are what the default
+# model emits (validated in tests/test_openparse_model.py).
+FIXTURE_PARSES = {
+    "OpenParse finds an example extraction .":
+        "(._._5_37), nsubj(finds_VBZ_1_10, OpenParse_NNP_0_0); "
+        "dobj(finds_VBZ_1_10, extraction_NN_4_27); "
+        "det(extraction_NN_4_27, an_DT_2_16); "
+        "nn(extraction_NN_4_27, example_NN_3_19)",
+    "Barack Obama was elected president of the United States .":
+        "(of_IN_5_0), (._._9_0), nn(Obama_NNP_1_0, Barack_NNP_0_0); "
+        "nsubjpass(elected_VBN_3_0, Obama_NNP_1_0); "
+        "auxpass(elected_VBN_3_0, was_VBD_2_0); "
+        "dobj(elected_VBN_3_0, president_NN_4_0); "
+        "prep_of(president_NN_4_0, States_NNPS_8_0); "
+        "det(States_NNPS_8_0, the_DT_6_0); "
+        "nn(States_NNPS_8_0, United_NNP_7_0)",
+    "Juliette has a crush on Romeo .":
+        "(on_IN_4_0), (._._6_0), nsubj(has_VBZ_1_0, Juliette_NNP_0_0); "
+        "dobj(has_VBZ_1_0, crush_NN_3_0); det(crush_NN_3_0, a_DT_2_0); "
+        "prep_on(crush_NN_3_0, Romeo_NNP_5_0)",
+    "Some people say Barack Obama was not born in the United States .":
+        "(in_IN_8_0), (._._12_0), det(people_NNS_1_0, Some_DT_0_0); "
+        "nsubj(say_VBP_2_0, people_NNS_1_0); "
+        "nn(Obama_NNP_4_0, Barack_NNP_3_0); "
+        "nsubjpass(born_VBN_7_0, Obama_NNP_4_0); "
+        "auxpass(born_VBN_7_0, was_VBD_5_0); neg(born_VBN_7_0, not_RB_6_0); "
+        "ccomp(say_VBP_2_0, born_VBN_7_0); "
+        "prep_in(born_VBN_7_0, States_NNPS_11_0); "
+        "det(States_NNPS_11_0, the_DT_9_0); "
+        "nn(States_NNPS_11_0, United_NNP_10_0)",
+    "The people fled away chaotically towards the barn .":
+        "det(people_NNS_1_0, The_DT_0_0); nsubj(fled_VBD_2_0, people_NNS_1_0); "
+        "advmod(fled_VBD_2_0, chaotically_RB_3_0); "
+        "det(barn_NN_6_0, the_DT_5_0); "
+        "prep_towards(fled_VBD_2_0, barn_NN_6_0)",
+}
