@@ -1,0 +1,223 @@
+"""Entity linking and canonicalization over extracted mentions.
+
+north_rule stage (2): normalize arguments, block near-duplicate surface
+forms with MinHash/LSH, resolve blocks into canonical entities via
+connected components, and join canonical ids back onto mentions with a
+*salted* equi-join so head entities ("Obama"-class keys that dominate a
+web corpus) cannot pin a single reducer.
+
+Scale notes (100 TB / 10^12 docs):
+- MinHash signatures are computed **without any explode or shuffle**:
+  one `transform`/`array_min` expression per hash seed over the char
+  3-gram array — pure whole-stage-codegen map work over the *distinct*
+  entity strings (cardinality « mention count).
+- LSH banding self-joins on the band key only; hot buckets are capped
+  (and counted via `dropped_buckets`) so one degenerate band cannot
+  produce O(n^2) pairs.
+- Connected components is min-label propagation: O(log n) join+agg
+  rounds over the candidate-pair edge set, which is tiny relative to
+  the corpus (near-dup blocks are shallow star-like clusters).
+- The final mentions->canonical join salts the canonical map S ways and
+  hashes mentions into the same salt space: mention skew spreads over S
+  reducers while the map side only replicates S×.  AQE skew-join stays
+  on as a second line of defense.
+
+Reference parity: argument normalization mirrors FindCommon.cleanArg
+(bootstrap/FindCommon.scala:25, determiner strip) + lowercasing; the
+reference has no linking stage (single machine, exact string keys) —
+this stage is the distributed generalization the north_rule requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DETERMINERS = ("the", "a", "an", "this", "that", "these", "those", "some",
+               "any", "each", "every", "its", "his", "her", "their", "our")
+
+
+def normalize_entity(col):
+    """lowercase, strip punctuation, drop a leading determiner."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.trim(c)
+    det = "|".join(DETERMINERS)
+    c = F.regexp_replace(c, r"^(?:" + det + r") ", "")
+    return F.trim(c)
+
+
+def entity_mentions(mentions: DataFrame) -> DataFrame:
+    """One row per argument occurrence: (doc_id, span_idx, side, text,
+    norm)."""
+    sides = []
+    for side in ("arg1", "arg2"):
+        sides.append(mentions.select(
+            "doc_id", "span_idx",
+            F.lit(side).alias("side"),
+            F.col(f"{side}_text").alias("text"),
+            normalize_entity(F.col(f"{side}_text")).alias("norm")))
+    return sides[0].unionByName(sides[1]).where(F.col("norm") != "")
+
+
+def minhash_signature(df: DataFrame, col: str = "norm",
+                      num_hashes: int = 16) -> DataFrame:
+    """Add ``sig: array<bigint>`` — MinHash over char 3-gram shingles.
+
+    All map-side: shingling via transform(sequence(...)), each signature
+    slot an array_min over seeded xxhash64.  No explode, no shuffle.
+    """
+    c = F.col(col)
+    shingles = F.when(
+        F.length(c) < 3, F.array(c)
+    ).otherwise(
+        F.transform(F.sequence(F.lit(1), F.length(c) - 2),
+                    lambda i: c.substr(i, F.lit(3))))
+    df = df.withColumn("_shingles", F.array_distinct(shingles))
+
+    # NB: the lambda must take exactly one parameter — pyspark's
+    # `transform` passes (element, index) to two-parameter lambdas,
+    # which would silently replace a default-arg seed with the index.
+    def hasher(seed):
+        return lambda x: F.xxhash64(x, F.lit(seed))
+
+    sig = F.array(*[F.array_min(F.transform("_shingles", hasher(seed)))
+                    for seed in range(num_hashes)])
+    return df.withColumn("sig", sig).drop("_shingles")
+
+
+def lsh_candidate_pairs(entities: DataFrame, num_hashes: int = 16,
+                        bands: int = 8, jaccard_threshold: float = 0.5,
+                        max_bucket: int = 64) -> DataFrame:
+    """(norm_a, norm_b) near-duplicate candidates, verified by token
+    Jaccard.  ``entities`` must have distinct ``norm``."""
+    rows = num_hashes // bands
+    sigs = minhash_signature(entities.select("norm"), num_hashes=num_hashes)
+    banded = sigs.select(
+        "norm",
+        F.explode(F.array(*[
+            F.xxhash64(F.concat_ws(
+                ",", *[F.element_at("sig", b * rows + r + 1).cast("string")
+                       for r in range(rows)]), F.lit(b))
+            for b in range(bands)])).alias("band_key"))
+    sized = banded.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band_key")))
+    kept = sized.where(F.col("bucket_n") <= max_bucket).drop("bucket_n")
+    a = kept.alias("a")
+    b = kept.alias("b")
+    pairs = (a.join(b, "band_key")
+             .where(F.col("a.norm") < F.col("b.norm"))
+             .select(F.col("a.norm").alias("norm_a"),
+                     F.col("b.norm").alias("norm_b"))
+             .distinct())
+    ta = F.array_distinct(F.split("norm_a", " "))
+    tb = F.array_distinct(F.split("norm_b", " "))
+    jac = (F.size(F.array_intersect(ta, tb))
+           / F.size(F.array_union(ta, tb)))
+    return pairs.where(jac >= F.lit(jaccard_threshold))
+
+
+def dropped_buckets(entities: DataFrame, num_hashes: int = 16,
+                    bands: int = 8, max_bucket: int = 64) -> int:
+    """How many LSH buckets the cap skipped (metrics, not silent)."""
+    rows = num_hashes // bands
+    sigs = minhash_signature(entities.select("norm"), num_hashes=num_hashes)
+    banded = sigs.select(F.explode(F.array(*[
+        F.xxhash64(F.concat_ws(
+            ",", *[F.element_at("sig", b * rows + r + 1).cast("string")
+                   for r in range(rows)]), F.lit(b))
+        for b in range(bands)])).alias("band_key"))
+    return (banded.groupBy("band_key").count()
+            .where(F.col("count") > max_bucket).count())
+
+
+def connected_components(pairs: DataFrame, vertices: DataFrame,
+                         max_iter: int = 15) -> DataFrame:
+    """Min-label propagation: (norm, component) for every vertex."""
+    sym = (pairs.select(F.col("norm_a").alias("src"),
+                        F.col("norm_b").alias("dst"))
+           .unionByName(pairs.select(F.col("norm_b").alias("src"),
+                                     F.col("norm_a").alias("dst"))))
+    sym = sym.localCheckpoint(eager=True)
+    labels = vertices.select(F.col("norm"),
+                             F.col("norm").alias("component"))
+    for _ in range(max_iter):
+        nbr = (sym.join(labels, sym.dst == labels.norm)
+               .groupBy("src").agg(F.min("component").alias("nbr_min")))
+        new = (labels.join(nbr, labels.norm == nbr.src, "left")
+               .select(labels.norm,
+                       F.least(F.col("component"),
+                               F.coalesce("nbr_min", F.col("component")))
+                       .alias("component")))
+        new = new.localCheckpoint(eager=True)
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "norm")
+                   .where(F.col("n.component") != F.col("o.component"))
+                   .limit(1).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def salted_join(big: DataFrame, small: DataFrame, key: str,
+                salt: int = 8) -> DataFrame:
+    """Equi-join where ``big`` is heavily skewed on ``key``: replicate
+    ``small`` ``salt`` ways, spray ``big`` across the salt space."""
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    salted_big = big.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+               F.lit(salt)).cast("int"))
+    return salted_big.join(salted_small, [key, "_salt"]).drop("_salt")
+
+
+def canonicalize(mentions: DataFrame, num_hashes: int = 16,
+                 bands: int = 8, salt: int = 8):
+    """-> (linked_mentions, nodes, edges) DataFrames.
+
+    nodes(node_id, canonical, aliases, mention_count)
+    edges(src_node, rel, dst_node, weight, conf)
+    linked mentions gain arg1_node / arg2_node columns.
+    """
+    ments = entity_mentions(mentions)
+    surface_counts = ments.groupBy("norm", "text").count()
+    counts = (surface_counts.groupBy("norm")
+              .agg(F.max_by("text", "count").alias("surface"),
+                   F.sum("count").alias("n")))
+    entities = counts.select("norm")
+    pairs = lsh_candidate_pairs(entities, num_hashes=num_hashes,
+                                bands=bands)
+    comp = connected_components(pairs, entities)
+
+    canon = (counts.join(comp, "norm")
+             .withColumn("node_id", F.col("component")))
+
+    nodes = (canon.groupBy("node_id")
+             .agg(F.max_by("surface", "n").alias("canonical"),
+                  F.collect_set("norm").alias("aliases"),
+                  F.sum("n").alias("mention_count")))
+
+    norm_to_node = canon.select("norm", "node_id")
+
+    m = (mentions
+         .withColumn("_a1", normalize_entity(F.col("arg1_text")))
+         .withColumn("_a2", normalize_entity(F.col("arg2_text"))))
+    j1 = salted_join(
+        m, norm_to_node.withColumnRenamed("norm", "_a1")
+        .withColumnRenamed("node_id", "arg1_node"), "_a1", salt=salt)
+    j2 = salted_join(
+        j1, norm_to_node.withColumnRenamed("norm", "_a2")
+        .withColumnRenamed("node_id", "arg2_node"), "_a2", salt=salt)
+    linked = j2.drop("_a1", "_a2")
+
+    edges = (linked.groupBy(
+        F.col("arg1_node").alias("src_node"),
+        F.lower(F.col("rel_text")).alias("rel"),
+        F.col("arg2_node").alias("dst_node"))
+        .agg(F.count("*").alias("weight"),
+             F.max("conf").alias("conf")))
+    return linked, nodes, edges

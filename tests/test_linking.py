@@ -1,0 +1,121 @@
+"""Entity linking, canonicalization, n-ary rollup, and
+checkpoint/resume materialization tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ollie_spark.spark.corpus import corpus
+from ollie_spark.spark.linking import (canonicalize, connected_components,
+                                       entity_mentions, lsh_candidate_pairs,
+                                       minhash_signature, normalize_entity,
+                                       salted_join)
+from ollie_spark.spark.materialize import StageWriter
+from ollie_spark.spark.nary import nary_extractions
+from ollie_spark.spark.pipeline import run_extraction
+
+
+@pytest.fixture(scope="module")
+def mentions(spark):
+    return run_extraction(corpus(spark, 80, seed=42, partitions=4)).cache()
+
+
+def test_normalize_entity(spark):
+    df = spark.createDataFrame(
+        [("The United States",), ("the united states",),
+         ("  A  Big-Dog ",)], "text string")
+    got = [r.n for r in
+           df.select(normalize_entity(F.col("text")).alias("n")).collect()]
+    assert got == ["united states", "united states", "big dog"]
+
+
+def test_minhash_deterministic_and_local(spark):
+    df = spark.createDataFrame([("barack obama",), ("barack obama",),
+                                ("noah chen",)], "norm string")
+    sigs = minhash_signature(df).collect()
+    assert sigs[0].sig == sigs[1].sig
+    assert sigs[0].sig != sigs[2].sig
+    # plan must not shuffle: signature is a pure projection
+    plan = minhash_signature(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_lsh_finds_near_duplicates(spark):
+    ents = spark.createDataFrame(
+        [("barack obama",), ("barack h obama",), ("noah chen",),
+         ("acme corporation",), ("acme corp",)], "norm string")
+    pairs = {(r.norm_a, r.norm_b) for r in
+             lsh_candidate_pairs(ents, jaccard_threshold=0.3).collect()}
+    assert ("barack h obama", "barack obama") in pairs
+    assert not any("noah chen" in p for pr in pairs for p in pr)
+
+
+def test_connected_components(spark):
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")],
+        "norm_a string, norm_b string")
+    verts = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("x",), ("y",), ("solo",)], "norm string")
+    comp = {r.norm: r.component
+            for r in connected_components(pairs, verts).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["x"] == comp["y"] == "x"
+    assert comp["solo"] == "solo"
+
+
+def test_salted_join_correctness(spark):
+    big = spark.createDataFrame(
+        [("k1", i) for i in range(50)] + [("k2", i) for i in range(3)],
+        "k string, v int")
+    small = spark.createDataFrame([("k1", "A"), ("k2", "B")],
+                                  "k string, tag string")
+    got = salted_join(big, small, "k", salt=4)
+    assert got.count() == 53
+    assert got.where("k = 'k1' and tag = 'A'").count() == 50
+
+
+def test_canonicalize_end_to_end(mentions):
+    linked, nodes, edges = canonicalize(mentions, salt=4)
+    assert linked.count() == mentions.count()  # every mention linked
+    n = nodes.collect()
+    assert len(n) > 0
+    assert all(r.mention_count >= 1 and r.canonical for r in n)
+    e = edges.collect()
+    assert all(r.weight >= 1 for r in e)
+    # graph is consistent: edge endpoints exist in nodes
+    node_ids = {r.node_id for r in n}
+    assert all(r.src_node in node_ids and r.dst_node in node_ids for r in e)
+
+
+def test_nary_rollup(spark):
+    from ollie_spark.spark.corpus import DOCUMENTS_SCHEMA
+    docs = spark.createDataFrame(
+        [("nd-0", [("text", "Samir Dawson moved from Tokyo to Delhi .",
+                    None, 0)])], schema=DOCUMENTS_SCHEMA)
+    m = run_extraction(docs)
+    nary = nary_extractions(m).collect()
+    assert len(nary) == 1
+    r = nary[0]
+    assert r.arg1_text == "Samir Dawson" and r.rel_base == "moved"
+    assert [(s.prep, s.arg2) for s in r.suffixes] == [
+        ("from", "Tokyo"), ("to", "Delhi")]
+
+
+def test_stage_writer_resume(spark, mentions, tmp_path):
+    w = StageWriter(spark, str(tmp_path), n_buckets=8)
+    r1 = w.run_stage("mentions", mentions)
+    assert sorted(r1["buckets"]) == list(range(8))
+    assert r1["rows"] == mentions.count()
+    # resume: nothing pending
+    r2 = w.run_stage("mentions", mentions)
+    assert r2["buckets"] == [] and r2["rows"] == 0
+    # simulate partial completion: only some buckets in manifest
+    w2 = StageWriter(spark, str(tmp_path / "partial"), n_buckets=8)
+    r3 = w2.run_stage("mentions", mentions, buckets=[0, 1, 2])
+    assert sorted(w2.completed_buckets("mentions")) == [0, 1, 2]
+    r4 = w2.run_stage("mentions", mentions)   # picks up the rest
+    assert sorted(r4["buckets"]) == [3, 4, 5, 6, 7]
+    total = w2.read_stage("mentions").count()
+    assert total == mentions.count()
+    # lineage metrics exist per bucket
+    metrics = w2.metrics("mentions")
+    assert metrics.select("bucket").distinct().count() == 8
