@@ -1,0 +1,65 @@
+"""Evaluation harness as DataFrame ops (SURVEY.md §2.2 B17-B21).
+
+- score: join extractions against a gold set (eval/Score.scala:88-155,
+  string-keyed exact match)
+- precision_yield: running precision over confidence-ranked
+  extractions + AUC (eval/PrecisionYield.scala:36-53)
+- rank_patterns: per-pattern precision + frequency
+  (eval/RankPatterns.scala:37-56)
+- group_scored_by: precision per group (eval/GroupScoredBy.scala:14-42)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def triple_key(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "triple",
+        F.concat_ws("; ", "arg1_text", "rel_text", "arg2_text"))
+
+
+def score(extractions: DataFrame, gold: DataFrame) -> DataFrame:
+    """gold(triple string, label int) left-joined onto extractions."""
+    return (triple_key(extractions)
+            .join(F.broadcast(gold), "triple", "left")
+            .withColumn("label", F.coalesce("label", F.lit(0))))
+
+
+def precision_yield(scored: DataFrame) -> DataFrame:
+    """Running precision/yield ordered by confidence desc; add AUC via
+    a cumulative window (the reference's sequential scan expressed as
+    Window.orderBy, SURVEY §2.3)."""
+    w = (Window.orderBy(F.desc("conf"), "triple")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (scored
+            .select("triple", "conf", "label")
+            .withColumn("yld", F.sum("label").over(w))
+            .withColumn("n", F.count("*").over(w))
+            .withColumn("precision",
+                        F.col("yld").cast("double") / F.col("n")))
+
+
+def auc(py: DataFrame) -> float:
+    """Area under the precision-yield curve (mean precision at each
+    yield increment, mirroring Analysis.areaUnderCurve)."""
+    gained = py.where(F.col("label") == 1)
+    row = gained.agg(F.avg("precision").alias("a")).collect()[0]
+    return float(row.a) if row.a is not None else 0.0
+
+
+def rank_patterns(scored: DataFrame) -> DataFrame:
+    return (scored.groupBy("pattern")
+            .agg(F.avg(F.col("label").cast("double")).alias("precision"),
+                 F.count("*").alias("frequency"))
+            .orderBy(F.desc("precision"), F.desc("frequency")))
+
+
+def group_scored_by(scored: DataFrame, column: str) -> DataFrame:
+    return (scored.groupBy(column)
+            .agg(F.avg(F.col("label").cast("double")).alias("precision"),
+                 F.count("*").alias("n"))
+            .orderBy(F.desc("n")))

@@ -1,0 +1,197 @@
+"""The model-training pipeline as DataFrame stages (SURVEY.md §2.2).
+
+Reference chain (core/scripts/*.sh; each stage a separate JVM over TSV
+files — here one Spark lineage):
+
+    seeds -> BuildPatterns (B4, mapInPandas)
+          -> KeepCommonPatterns (B5, groupBy count)
+          -> KeepDiversePatterns (B6, countDistinct rel)
+          -> BuildTemplates histogram (B7, groupBy)
+          -> generalize relations -> templates (B9)
+          -> PassiveReflections (B13, 1->2 explode)
+          -> CountsToConfidence (B14, max window)
+          -> model(template, pattern, conf)
+
+Scale notes: B4 is the only Python stage (per-seed path search inside
+Arrow batches); everything after is shuffle-light hash aggregation on
+the pattern string key — the reference's own trick of aggregating on
+serialized strings before deserializing (BuildTemplates.scala:241-266)
+is the natural Spark shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, StringType, StructField,
+                               StructType)
+
+from ..model.wordlists import SIMPLE_PREPOSITIONS
+
+SEED_SCHEMA = ("rel string, arg1 string, arg2 string, lemmas string, "
+               "pickled string")
+
+INDUCED_SCHEMA = StructType([
+    StructField("rel", StringType()),
+    StructField("arg1", StringType()),
+    StructField("arg2", StringType()),
+    StructField("lemmas", StringType()),
+    StructField("pattern", StringType()),
+    StructField("slots", ArrayType(StringType())),
+])
+
+
+def induce_patterns(seeds: DataFrame,
+                    max_length: int | None = 4) -> DataFrame:
+    """B4: one row per (seed, learned pattern)."""
+
+    def run(batches):
+        import pandas as pd
+        from .induction import induce_from_seed
+
+        for pdf in batches:
+            rows = []
+            for rel, a1, a2, lem, pickled in zip(
+                    pdf["rel"], pdf["arg1"], pdf["arg2"], pdf["lemmas"],
+                    pdf["pickled"]):
+                try:
+                    pats = induce_from_seed(rel, a1, a2,
+                                            set(lem.split()), pickled,
+                                            max_length)
+                except Exception:  # noqa: BLE001 — error shielding (R27)
+                    continue
+                for p, slots in pats:
+                    rows.append({"rel": rel, "arg1": a1, "arg2": a2,
+                                 "lemmas": lem,
+                                 "pattern": p.serialize(),
+                                 "slots": list(slots)})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in INDUCED_SCHEMA.fields])
+
+    return seeds.mapInPandas(run, schema=INDUCED_SCHEMA)
+
+
+def keep_common_patterns(induced: DataFrame, min_count: int) -> DataFrame:
+    """B5 (BuildPatterns.scala:301-333): patterns seen >= min times.
+    The reference does two file passes to bound memory; a shuffle
+    aggregate + broadcast semi-join is the distributed equivalent."""
+    keep = (induced.groupBy("pattern").count()
+            .where(F.col("count") >= min_count).select("pattern"))
+    return induced.join(F.broadcast(keep), "pattern", "left_semi")
+
+
+def keep_diverse_patterns(induced: DataFrame, min_rels: int) -> DataFrame:
+    """B6 (BuildPatterns.scala:340-406): patterns observed with >=
+    min distinct relations.  Use approx_count_distinct at web scale."""
+    keep = (induced.groupBy("pattern")
+            .agg(F.countDistinct("rel").alias("n_rels"))
+            .where(F.col("n_rels") >= min_rels).select("pattern"))
+    return induced.join(F.broadcast(keep), "pattern", "left_semi")
+
+
+def template_histogram(induced: DataFrame) -> DataFrame:
+    """B7 (BuildTemplates.scala:237-269): count (rel, pattern) pairs —
+    aggregation happens on the serialized pattern string."""
+    return induced.groupBy("rel", "pattern").count()
+
+
+def generalize_relation_expr(rel_col):
+    """B9 (BuildTemplates.scala:219-235): rewrite the relation string
+    into a template — 'be' and a trailing simple preposition survive,
+    content words collapse into one '{rel}'."""
+    preps = F.array(*[F.lit(p) for p in sorted(SIMPLE_PREPOSITIONS)])
+    words = F.split(rel_col, " ")
+    n = F.size(words)
+
+    def keep(w, i):
+        is_last = i == n - 1
+        return (F.when(w == "be", w)
+                .when(is_last & F.array_contains(preps, w), w)
+                .otherwise(F.lit("{rel}")))
+
+    mapped = F.zip_with(words,
+                        F.sequence(F.lit(0), n - 1),
+                        keep)
+    # collapse consecutive {rel}
+    collapsed = F.aggregate(
+        mapped, F.array().cast("array<string>"),
+        lambda acc, w: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == w) & (w == "{rel}"),
+            acc).otherwise(F.concat(acc, F.array(w))))
+    return F.array_join(collapsed, " ")
+
+
+def build_templates(histogram: DataFrame,
+                    min_count: int = 1) -> DataFrame:
+    """B9+B11: (template, pattern, count) with single-{rel} cleanup
+    (BuildTemplates.scala:431-455)."""
+    t = histogram.withColumn("template",
+                             generalize_relation_expr(F.col("rel")))
+    agg = (t.groupBy("template", "pattern")
+           .agg(F.sum("count").alias("count"))
+           .where(F.col("count") >= min_count))
+    # drop templates with more than one {rel}
+    n_rel = F.size(F.split(F.col("template"), r"\{rel}")) - 1
+    return agg.where(n_rel == 1)
+
+
+def passive_reflections(templates: DataFrame) -> DataFrame:
+    """B13 (template/PassiveReflections.scala:54-96): nsubj patterns
+    gain a passive twin ('be '+template, args swapped and nsubj ->
+    nsubjpass + auxpass path); nsubjpass patterns gain an active twin.
+    We emit the template-side reflection (pattern stays literal — the
+    reference's edge rewrite needs the full matcher algebra and only
+    fires for two fixed shapes)."""
+    active = F.col("pattern").rlike(r"^\{arg1} <nsubj<")
+    passive = F.col("pattern").rlike(r"^\{arg1} <nsubjpass<")
+    reflected = (templates
+                 .where(active | passive)
+                 .withColumn(
+                     "template",
+                     F.when(active & ~F.col("template").startswith("be "),
+                            F.concat(F.lit("be "), F.col("template")))
+                     .when(passive & F.col("template").startswith("be "),
+                           F.expr("substring(template, 4)"))
+                     .otherwise(F.col("template")))
+                 .withColumn(
+                     "pattern",
+                     F.when(active, F.regexp_replace(
+                         "pattern", r"<nsubj<", "<nsubjpass<"))
+                     .otherwise(F.regexp_replace(
+                         "pattern", r"<nsubjpass<", "<nsubj<"))))
+    return templates.unionByName(reflected).groupBy(
+        "template", "pattern").agg(F.max("count").alias("count"))
+
+
+def counts_to_confidence(templates: DataFrame) -> DataFrame:
+    """B14 (template/CountsToConfidence.scala:31-55):
+    conf = count / max(count)."""
+    mx = templates.agg(F.max("count").alias("mx"))
+    return (templates.crossJoin(F.broadcast(mx))
+            .select("template", "pattern",
+                    (F.col("count") / F.col("mx")).alias("conf")))
+
+
+def train_model(seeds: DataFrame, max_length: int | None = 4,
+                min_common: int = 1, min_diverse: int = 1,
+                min_template_count: int = 1,
+                with_reflections: bool = False) -> DataFrame:
+    """The full chain: seeds -> model(template, pattern, conf)."""
+    induced = induce_patterns(seeds, max_length)
+    common = keep_common_patterns(induced, min_common)
+    diverse = keep_diverse_patterns(common, min_diverse)
+    hist = template_histogram(diverse)
+    templates = build_templates(hist, min_template_count)
+    if with_reflections:
+        templates = passive_reflections(templates)
+    return counts_to_confidence(templates)
+
+
+def model_rows_to_extractors(rows):
+    """Materialized model rows -> runtime extractors."""
+    from ..extract.build import Extractor, Template
+    from ..model.patterns import Pattern
+    return [Extractor(Pattern.deserialize(r["pattern"]), float(r["conf"]),
+                      template=Template.deserialize(r["template"]))
+            for r in rows]

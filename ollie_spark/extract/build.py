@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field, replace
+from functools import cached_property
 
 from ..graph import DependencyGraph, Node, intersects, span_of
 from ..model.lemmatizer import lemmatize
@@ -258,6 +259,16 @@ def _neighbors_with_labels(graph, node):
 
 # -------------------------------------------------------------- extractors
 
+def _trailing_prep_re():
+    from ..model.wordlists import PREPOSITIONS
+    alts = sorted(PREPOSITIONS, key=len, reverse=True)
+    return re.compile(r"\s(?:" + "|".join(re.escape(p) for p in alts)
+                      + r"|\{prep\})$")
+
+
+_TRAILING_TEMPLATE_PREP_RE = _trailing_prep_re()
+
+
 @dataclass(frozen=True)
 class Extractor:
     """A pattern extractor: general, template, or specific
@@ -269,19 +280,16 @@ class Extractor:
     relation: str | None = None               # specific extractor
     relation_lemmas: tuple = ()                # specific extractor
 
-    @property
+    @cached_property
     def prep_mismatch(self) -> bool:
         """TemplateExtractor.scala:43-52, replicated literally: the
         trailing-preposition regex match *includes* its leading
         whitespace, so the equality against the pattern's last prep
-        (which has none) only holds when both sides are absent."""
+        (which has none) only holds when both sides are absent.
+        Pattern-level constant — cached at first use."""
         if self.template is None:
             return False
-        from ..model.wordlists import PREPOSITIONS
-        alts = sorted(PREPOSITIONS, key=len, reverse=True)
-        mre = re.search(
-            r"\s(?:" + "|".join(re.escape(p) for p in alts)
-            + r"|\{prep\})$", self.template.serialize())
+        mre = _TRAILING_TEMPLATE_PREP_RE.search(self.template.serialize())
         trailing = mre.group(0) if mre else None
         return trailing == self.pattern.last_prep
 

@@ -281,6 +281,102 @@ class DependencyGraph:
                  for e in self.edges]
         return DependencyGraph(mapping.values(), edges, text=self._text)
 
+    def lemmatized(self, lemmatize) -> "DependencyGraph":
+        """Replace every token's text with its lemma (the reference's
+        ``map(_.lemmatize(MorphaStemmer))``, BuildPatterns.scala:79)."""
+        return self._map_nodes(
+            lambda n: Node(lemmatize(n.text), n.postag, n.start, n.end,
+                           n.offset))
+
+    def collapse_noun_groups(self) -> "DependencyGraph":
+        """Merge contiguous nn-connected token groups into one node
+        (nlptools collapseNounGroups, used at BuildPatterns.scala:81).
+        Only merges when the group covers a contiguous index range."""
+        # connected components over nn edges
+        parent = {}
+
+        def find(k):
+            while parent[k] != k:
+                parent[k] = parent[parent[k]]
+                k = parent[k]
+            return k
+
+        for n in self.nodes:
+            parent[n.sort_key] = n.sort_key
+        for e in self.edges:
+            if e.label == "nn":
+                a, b = find(e.src.sort_key), find(e.dst.sort_key)
+                if a != b:
+                    parent[a] = b
+        groups = {}
+        for n in self.nodes:
+            groups.setdefault(find(n.sort_key), []).append(n)
+
+        mapping = {}
+        for members in groups.values():
+            if len(members) < 2:
+                continue
+            members.sort(key=lambda n: n.sort_key)
+            lo = min(n.start for n in members)
+            hi = max(n.end for n in members)
+            if hi - lo != sum(n.end - n.start for n in members):
+                continue  # not contiguous — leave unmerged
+            # head = the governor of the internal nn edges
+            dsts = {e.dst.sort_key for e in self.edges if e.label == "nn"}
+            head = next((n for n in members if n.sort_key not in dsts),
+                        members[-1])
+            merged = Node(" ".join(n.text for n in members), head.postag,
+                          lo, hi, min(n.offset for n in members))
+            for n in members:
+                mapping[n.sort_key] = merged
+        return self._remap(mapping)
+
+    def collapse_nnp_of(self) -> "DependencyGraph":
+        """Merge ``X of Y`` proper-noun pairs joined by prep_of into one
+        node (nlptools collapseNNPOf): X_NNP >prep_of> Y_NNP with
+        exactly the 'of' token between them."""
+        mapping = {}
+        for e in self.edges:
+            if (e.label == "prep_of" and e.src.postag.startswith("NNP")
+                    and e.dst.postag.startswith("NNP")
+                    and e.dst.start == e.src.end + 1):
+                merged = Node(f"{e.src.text} of {e.dst.text}", e.src.postag,
+                              e.src.start, e.dst.end, e.src.offset)
+                mapping[e.src.sort_key] = merged
+                mapping[e.dst.sort_key] = merged
+                # the absorbed 'of' token disappears from the node list
+                for n in self.nodes:
+                    if n.start == e.src.end and n.end == e.dst.start:
+                        mapping[n.sort_key] = merged
+        return self._remap(mapping)
+
+    def _remap(self, mapping) -> "DependencyGraph":
+        if not mapping:
+            return self
+        def m(n):
+            return mapping.get(n.sort_key, n)
+        nodes = {m(n).sort_key: m(n) for n in self.nodes}
+        edges = []
+        seen = set()
+        for e in self.edges:
+            src, dst = m(e.src), m(e.dst)
+            if src.sort_key == dst.sort_key:
+                continue  # internal edge collapsed away
+            key = (e.label, src.sort_key, dst.sort_key)
+            if key not in seen:
+                seen.add(key)
+                edges.append(Edge(e.label, src, dst))
+        return DependencyGraph(nodes.values(), edges, text=self._text)
+
+    def normalize(self, lemmatize=None) -> "DependencyGraph":
+        """nlptools ``normalize``: collapseNounGroups + collapseNNPOf +
+        simplifyPostags (BuildPatternsSpec.scala:17)."""
+        g = self
+        if lemmatize is not None:
+            g = g.lemmatized(lemmatize)
+        return (g.collapse_noun_groups().collapse_nnp_of()
+                .simplify_postags())
+
     def collapse(self) -> "DependencyGraph":
         """Stanford-style collapsing: prep+pobj -> prep_X(gov, obj),
         prep+pcomp -> prepc_X, conj+cc -> conj_X.  Absorbed tokens stay

@@ -17,16 +17,20 @@ import gzip
 import json
 import os
 from functools import lru_cache
-from pathlib import Path
 
 from ..extract.build import Extractor, Template
 from .patterns import Pattern
 
-DEFAULT_MODEL = Path(__file__).resolve().parents[1] / "resources/model.json.gz"
+_PACKAGED = "__packaged__"   # sentinel: read via importlib.resources
 
 
 @lru_cache(maxsize=4)
 def _load_raw(path: str) -> dict:
+    if path == _PACKAGED:
+        # zip-safe (works when the package ships via --py-files)
+        from importlib.resources import files
+        blob = (files("ollie_spark") / "resources/model.json.gz").read_bytes()
+        return json.loads(gzip.decompress(blob))
     with gzip.open(path, "rb") as f:
         return json.loads(f.read())
 
@@ -34,7 +38,7 @@ def _load_raw(path: str) -> dict:
 def load_extractors(path: str | None = None) -> list[Extractor]:
     """The 629 template extractors of the default model."""
     raw = _load_raw(str(path or os.environ.get("OLLIE_SPARK_MODEL")
-                        or DEFAULT_MODEL))
+                        or _PACKAGED))
     return [
         Extractor(Pattern.deserialize(p["pattern"]), p["conf"],
                   template=Template(p["template"], p["be"]))
@@ -45,6 +49,6 @@ def load_extractors(path: str | None = None) -> list[Extractor]:
 def load_classifier(path: str | None = None) -> tuple[float, dict]:
     """(intercept, {feature_name: weight}) of the confidence model."""
     raw = _load_raw(str(path or os.environ.get("OLLIE_SPARK_MODEL")
-                        or DEFAULT_MODEL))
+                        or _PACKAGED))
     c = raw["classifier"]
     return c["intercept"], dict(c["weights"])

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from functools import cached_property
 
 from ..graph import DependencyGraph, Edge, Node
 from .lemmatizer import lemmatize
@@ -41,7 +42,13 @@ class NodeMatcher:
     alias: str | None = None          # None = anonymous/trivial
     postag: str | None = None
     regex: str | None = None          # lemma regex (fullmatch)
-    _compiled: object = field(default=None, compare=False, repr=False)
+
+    @cached_property
+    def _compiled(self):
+        # lazy: the model's semantic-class regexes are huge alternations
+        # whose compilation dominates model load; most patterns are
+        # pruned by the feasibility prefilter before ever matching
+        return re.compile(self.regex) if self.regex is not None else None
 
     @property
     def kind(self) -> str | None:
@@ -53,7 +60,7 @@ class NodeMatcher:
     def matches(self, node: Node) -> bool:
         if self.postag is not None and node.postag != self.postag:
             return False
-        if self._compiled is not None and not self._compiled.fullmatch(
+        if self.regex is not None and not self._compiled.fullmatch(
                 lemmatize(node.text)):
             return False
         return True
@@ -73,7 +80,10 @@ class EdgeMatcher:
     label: str | None = None          # exact label
     alias: str | None = None          # captured edge alias
     regex: str | None = None          # label regex
-    _compiled: object = field(default=None, compare=False, repr=False)
+
+    @cached_property
+    def _compiled(self):
+        return re.compile(self.regex) if self.regex is not None else None
 
     def matches_label(self, label: str) -> bool:
         if self.label is not None:
@@ -122,8 +132,7 @@ def _parse_node_matcher(tok: str) -> NodeMatcher:
             rest = ""
         else:
             raise ValueError(f"bad node constraint in {tok!r}")
-    compiled = re.compile(regex) if regex is not None else None
-    return NodeMatcher(alias, postag, regex, compiled)
+    return NodeMatcher(alias, postag, regex)
 
 
 def _parse_edge_matcher(tok: str) -> EdgeMatcher:
@@ -140,8 +149,7 @@ def _parse_edge_matcher(tok: str) -> EdgeMatcher:
         if not rest.startswith("regex="):
             raise ValueError(f"bad captured edge matcher: {tok!r}")
         regex = rest[len("regex="):]
-        return EdgeMatcher(direction, None, alias or None, regex,
-                           re.compile(regex))
+        return EdgeMatcher(direction, None, alias or None, regex)
     return EdgeMatcher(direction, inner)
 
 
