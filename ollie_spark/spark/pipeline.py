@@ -70,6 +70,33 @@ def sentences(documents: DataFrame) -> DataFrame:
                     F.col("span.text").alias("text")))
 
 
+def segment_sentences(sents: DataFrame) -> DataFrame:
+    """R2 (opt-in, SentenceIterator.scala:5-38): split multi-sentence
+    text spans; single-sentence spans pass through unchanged.  Adds a
+    ``sent_idx`` ordinal within the span (media spans never enter this
+    path, so the document's span sequence is untouched)."""
+    import re as _re
+    splitter = _re.compile(r"(?<=[.!?])\s+(?=[A-Z\"'(])")
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for doc_id, span_idx, text in zip(
+                    pdf["doc_id"], pdf["span_idx"], pdf["text"]):
+                for i, s in enumerate(splitter.split(text or "")):
+                    if s.strip():
+                        rows.append({"doc_id": doc_id,
+                                     "span_idx": int(span_idx),
+                                     "sent_idx": i, "text": s.strip()})
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "span_idx", "sent_idx", "text"])
+
+    return sents.mapInPandas(
+        run, schema="doc_id string, span_idx int, sent_idx int, "
+                    "text string")
+
+
 def extract_mentions(sents: DataFrame) -> DataFrame:
     """R3-R18 + R20: parse + match + expand + features, one Arrow batch
     at a time.  Errors are shielded per row into an ``error`` column
