@@ -135,14 +135,22 @@ def dropped_buckets(entities: DataFrame, num_hashes: int = 16,
 
 def connected_components(pairs: DataFrame, vertices: DataFrame,
                          max_iter: int = 15) -> DataFrame:
-    """Min-label propagation: (norm, component) for every vertex."""
+    """Min-label propagation: (norm, component) for every vertex.
+
+    Only vertices that occur in ``pairs`` enter the iteration — at web
+    scale almost all entities are isolated (component = self) and must
+    not be dragged through O(log n) join rounds."""
     sym = (pairs.select(F.col("norm_a").alias("src"),
                         F.col("norm_b").alias("dst"))
            .unionByName(pairs.select(F.col("norm_b").alias("src"),
                                      F.col("norm_a").alias("dst"))))
     sym = sym.localCheckpoint(eager=True)
-    labels = vertices.select(F.col("norm"),
-                             F.col("norm").alias("component"))
+    connected_verts = sym.select(F.col("src").alias("norm")).distinct()
+    isolated = (vertices.select("norm")
+                .join(connected_verts, "norm", "left_anti")
+                .select("norm", F.col("norm").alias("component")))
+    labels = connected_verts.select(
+        "norm", F.col("norm").alias("component"))
     for _ in range(max_iter):
         nbr = (sym.join(labels, sym.dst == labels.norm)
                .groupBy("src").agg(F.min("component").alias("nbr_min")))
@@ -159,7 +167,7 @@ def connected_components(pairs: DataFrame, vertices: DataFrame,
         labels = new
         if changed == 0:
             break
-    return labels
+    return labels.unionByName(isolated)
 
 
 def salted_join(big: DataFrame, small: DataFrame, key: str,

@@ -22,7 +22,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-docs", type=int, default=20000)
     ap.add_argument("--seed", type=int, default=42)
-    ap.add_argument("--repeat", type=int, default=2,
+    ap.add_argument("--repeat", type=int, default=3,
                     help="extraction passes; best is reported (first "
                     "pass pays python-worker startup)")
     ap.add_argument("--link", action="store_true",
@@ -47,7 +47,7 @@ def main():
            partitions=cores * 2).write.mode("overwrite").parquet(corpus_dir)
     # repartition for the CPU-bound extraction stage: parquet splits by
     # bytes, but the cost driver here is rows-of-text per task
-    docs = spark.read.parquet(corpus_dir).repartition(cores * 2)
+    docs = spark.read.parquet(corpus_dir).repartition(cores * 4)
 
     mentions = run_extraction(docs)
     extract_sec, n_triples = None, 0

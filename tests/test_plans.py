@@ -1,0 +1,58 @@
+"""Physical-plan assertions: the optimizations SURVEY §4 promises must
+actually appear in the executed plans."""
+
+import __spark_entry__ as em
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    df = em.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    plan = _plan(spark, "q01_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan \
+        or "PushedFilters: [" in plan
+    # column pruning: p_retailprice et al. absent; ReadSchema is narrow
+    assert "l_extendedprice" in plan
+    assert "l_partkey" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_broadcast_join_for_dimensions(spark):
+    plan = _plan(spark, "q03_region_rollup")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_join_is_broadcast(spark):
+    plan = _plan(spark, "q04_frequent_parts_semijoin")
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+
+
+def test_extraction_pipeline_is_shuffle_free(spark):
+    from ollie_spark.spark.corpus import corpus
+    from ollie_spark.spark.pipeline import run_extraction
+    m = run_extraction(corpus(spark, 50, seed=42, partitions=2))
+    plan = m._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_scoring_is_native_expression(spark):
+    """The confidence score must be a JVM-side SQL expression (zip_with
+    + aggregate over the broadcast weight literals), not a Python UDF."""
+    from ollie_spark.spark.corpus import corpus
+    from ollie_spark.spark.pipeline import run_extraction
+    m = run_extraction(corpus(spark, 50, seed=42, partitions=2))
+    plan = m._jdf.queryExecution().executedPlan().toString()
+    assert "zip_with(features" in plan
+    # exactly two python stages (corpus gen + extract), none for scoring
+    assert plan.count("MapInPandas") == 2
+
+
+def test_whole_stage_codegen_on_relational(spark):
+    df = em.queries()["q01_pricing_summary"](spark, SF)
+    df.collect()  # finalize the adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WholeStageCodegen" in plan
