@@ -55,4 +55,5 @@ def test_whole_stage_codegen_on_relational(spark):
     df = em.queries()["q01_pricing_summary"](spark, SF)
     df.collect()  # finalize the adaptive plan
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "WholeStageCodegen" in plan
+    # '*(n)' marks WholeStageCodegen stages in the final AQE plan
+    assert "*(" in plan
