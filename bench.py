@@ -68,9 +68,14 @@ def main():
         timings[name] = round(time.monotonic() - t0, 3)
         _ = n
 
-    # KG extraction throughput
+    # KG extraction throughput (corpus materialized first — the
+    # pipeline's real input is a stored table, not a fused generator)
+    import tempfile
     n_docs = DOCS_PER_SF.get(sf_name, 20_000)
-    docs = corpus(spark, n_docs, seed=42, partitions=CPUS * 2)
+    corpus_dir = tempfile.mkdtemp(prefix="ollie-bench-corpus-")
+    corpus(spark, n_docs, seed=42, partitions=CPUS * 2) \
+        .write.mode("overwrite").parquet(corpus_dir)
+    docs = spark.read.parquet(corpus_dir).repartition(CPUS * 4)
     t0 = time.monotonic()
     n_triples = run_extraction(docs).count()
     extract_sec = time.monotonic() - t0
