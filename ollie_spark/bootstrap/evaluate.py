@@ -58,6 +58,52 @@ def rank_patterns(scored: DataFrame) -> DataFrame:
             .orderBy(F.desc("precision"), F.desc("frequency")))
 
 
+def paired_bootstrap_significance(scored_a: DataFrame,
+                                  scored_b: DataFrame,
+                                  iterations: int = 100,
+                                  sample_size: int = 50,
+                                  seed: int = 42) -> float:
+    """B21 (eval/StatisticalSignificance.scala:52-127): paired bootstrap
+    over sentence resamples — p = fraction of resamples where system A's
+    precision does not beat B's.
+
+    Resampling is deterministic: the (iteration, draw) grid picks
+    sentences via xxhash64 — an explode + join + two aggregations, no
+    driver-side loop."""
+    def per_sentence(scored):
+        return (scored.groupBy("doc_id", "span_idx")
+                .agg(F.sum("label").alias("tp"),
+                     F.count("*").alias("n"))
+                .withColumn("sid", F.dense_rank().over(
+                    Window.orderBy("doc_id", "span_idx")) - 1))
+
+    a = per_sentence(scored_a).withColumnRenamed("tp", "tp_a") \
+        .withColumnRenamed("n", "n_a")
+    b = per_sentence(scored_b).select(
+        "doc_id", "span_idx", F.col("tp").alias("tp_b"),
+        F.col("n").alias("n_b"))
+    joined = a.join(b, ["doc_id", "span_idx"], "outer").fillna(0).cache()
+    n_sent = joined.count()
+    if n_sent == 0:
+        return 1.0
+
+    spark = scored_a.sparkSession
+    grid = (spark.range(iterations).withColumnRenamed("id", "iter")
+            .withColumn("draw", F.explode(F.sequence(
+                F.lit(0), F.lit(sample_size - 1))))
+            .withColumn("sid", F.pmod(
+                F.xxhash64("iter", "draw", F.lit(seed)),
+                F.lit(n_sent)).cast("int")))
+    sampled = grid.join(joined, "sid")
+    per_iter = (sampled.groupBy("iter")
+                .agg((F.sum("tp_a") / F.sum("n_a")).alias("prec_a"),
+                     (F.sum("tp_b") / F.sum("n_b")).alias("prec_b")))
+    worse = per_iter.where(
+        F.coalesce("prec_a", F.lit(0.0))
+        <= F.coalesce("prec_b", F.lit(0.0))).count()
+    return worse / iterations
+
+
 def group_scored_by(scored: DataFrame, column: str) -> DataFrame:
     return (scored.groupBy(column)
             .agg(F.avg(F.col("label").cast("double")).alias("precision"),

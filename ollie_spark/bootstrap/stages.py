@@ -106,6 +106,7 @@ def generalize_relation_expr(rel_col):
     def keep(w, i):
         is_last = i == n - 1
         return (F.when(w == "be", w)
+                .when(w == "{prep}", w)
                 .when(is_last & F.array_contains(preps, w), w)
                 .otherwise(F.lit("{rel}")))
 
@@ -120,6 +121,38 @@ def generalize_relation_expr(rel_col):
             & (F.element_at(acc, -1) == w) & (w == "{rel}"),
             acc).otherwise(F.concat(acc, F.array(w))))
     return F.array_join(collapsed, " ")
+
+
+def generalize_prepositions(histogram: DataFrame) -> DataFrame:
+    """B8 (BuildTemplates.scala:271-325): when the relation ends with a
+    simple preposition and the pattern's *last* prep edge carries the
+    same preposition, generalize both — the rel suffix becomes
+    ``{prep}`` and the edge becomes a ``{prep:regex=prep_(.*)}``
+    capture.  Implemented with a last-occurrence regex (lookahead keeps
+    it the final prep edge)."""
+    last_word = F.element_at(F.split(F.col("rel"), " "), -1)
+    is_prep = last_word.isin(*sorted(SIMPLE_PREPOSITIONS))
+    has_matching_last = F.expr(
+        "pattern rlike concat('>prep_', element_at(split(rel, ' '), -1),"
+        "'>(?=(?:(?!>prep_).)*$)')")
+    new_rel = F.concat(
+        F.expr("substring(rel, 1, length(rel) - length("
+               "element_at(split(rel, ' '), -1)))"),
+        F.lit("{prep}"))
+    new_pattern = F.expr(
+        "regexp_replace(pattern, concat('>prep_', "
+        "element_at(split(rel, ' '), -1), '>(?=(?:(?!>prep_).)*$)'), "
+        "'>{prep:regex=prep_(.*)}>')")
+    gen = is_prep & has_matching_last
+    # one select so both rewrites read the original columns
+    return (histogram
+            .select(F.when(gen, new_rel).otherwise(F.col("rel"))
+                    .alias("rel"),
+                    F.when(gen, new_pattern).otherwise(F.col("pattern"))
+                    .alias("pattern"),
+                    "count")
+            .groupBy("rel", "pattern")
+            .agg(F.sum("count").alias("count")))
 
 
 def build_templates(histogram: DataFrame,
@@ -181,7 +214,7 @@ def train_model(seeds: DataFrame, max_length: int | None = 4,
     induced = induce_patterns(seeds, max_length)
     common = keep_common_patterns(induced, min_common)
     diverse = keep_diverse_patterns(common, min_diverse)
-    hist = template_histogram(diverse)
+    hist = generalize_prepositions(template_histogram(diverse))
     templates = build_templates(hist, min_template_count)
     if with_reflections:
         templates = passive_reflections(templates)

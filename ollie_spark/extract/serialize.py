@@ -110,6 +110,43 @@ def format_tabbed(r: OllieExtractionResult, text: str = "") -> str:
     ])
 
 
+def brat_output(text: str, results) -> str:
+    """R25 (ollie/output/BratOutput.scala:10-65): standoff annotations —
+    T* text-bound spans for arg1/rel/arg2 and R* relations.  Character
+    offsets are reconstructed from the whitespace-tokenized sentence
+    (the engine tracks token spans; the corpus is space-joined)."""
+    tokens = text.split(" ")
+    starts = []
+    pos = 0
+    for t in tokens:
+        starts.append(pos)
+        pos += len(t) + 1
+
+    def char_span(span):
+        s, e = span
+        if s >= len(tokens):
+            return 0, 0
+        e = min(e, len(tokens))
+        return starts[s], starts[e - 1] + len(tokens[e - 1])
+
+    lines = []
+    t_i, r_i = 1, 1
+    for r in results:
+        ids = []
+        for kind, txt, span in (("Argument", r.arg1_text, r.arg1_span),
+                                ("Relation", r.rel_text, r.rel_span),
+                                ("Argument", r.arg2_text, r.arg2_span)):
+            c0, c1 = char_span(span)
+            lines.append(f"T{t_i}\t{kind} {c0} {c1}\t{txt}")
+            ids.append(f"T{t_i}")
+            t_i += 1
+        lines.append(
+            f"R{r_i}\tExtraction Arg1:{ids[0]} Rel:{ids[1]} "
+            f"Arg2:{ids[2]}")
+        r_i += 1
+    return "\n".join(lines)
+
+
 def format_interactive(results, text: str = "") -> str:
     """The default human-readable format (OllieCli.scala:49-60)."""
     lines = [text]

@@ -1,0 +1,99 @@
+"""B1-B3 seed stages, B8 preposition generalization, B21 bootstrap
+significance, and the Brat sink."""
+
+from pyspark.sql import functions as F
+
+from ollie_spark.bootstrap.seeds import (filter_target_extractions,
+                                         find_target_arguments,
+                                         find_target_extractions)
+from ollie_spark.bootstrap.stages import generalize_prepositions
+
+
+def test_find_target_arguments(spark):
+    df = spark.createDataFrame(
+        [("the Obama", "the obama", "DT NNP", 10),
+         ("the Obama", "the obama", "DT NNP", 5),
+         ("New York", "new york", "NNP NNP", 9),
+         ("big dog", "big dog", "JJ NN", 50),        # not proper
+         ("Inc", "inc", "NNP", 99),                   # blacklisted
+         ("under_score", "under_score", "NNP", 99)],  # has '_'
+        "string string, lemma string, postag string, count int")
+    got = {r.arg_lemma: r.total
+           for r in find_target_arguments(df, lower_bound=8).collect()}
+    assert got == {"obama": 15, "new york": 9}
+
+
+def test_find_and_filter_target_extractions(spark):
+    ex_rows = []
+    # 20 occurrences of a good seed (relation gets > 15 seeds)
+    for i in range(20):
+        ex_rows.append(("bear in", f"obama{i}", "hawaii", "NNP", "VBN IN",
+                        "NNP", f"obama{i} bear hawaii", 2))
+    # negated -> dropped
+    ex_rows.append(("be not bear in", "obamax", "hawaii", "NNP",
+                    "VBN RB IN", "NNP", "obamax bear hawaii", 2))
+    # args equal -> dropped
+    ex_rows.append(("bear in", "hawaii", "hawaii", "NNP", "VBN IN",
+                    "NNP", "hawaii bear", 2))
+    ex = spark.createDataFrame(
+        ex_rows,
+        "rel_lemma string, arg1_lemma string, arg2_lemma string, "
+        "arg1_postag string, rel_postag string, arg2_postag string, "
+        "all_lemmas string, count int")
+    freq = spark.createDataFrame(
+        [(f"obama{i}",) for i in range(20)] + [("hawaii",)],
+        "arg_lemma string")
+    seeds = find_target_extractions(ex, freq)
+    rows = seeds.collect()
+    # each surviving row replicated count=2 times
+    assert len(rows) == 40
+    assert all(r.rel_lemma == "bear in" for r in rows)
+
+    kept = filter_target_extractions(seeds, min_relation_seeds=15)
+    k = kept.collect()
+    assert len(k) == 20  # distinct seeds, each seen twice
+    assert all(r.rel_lemma == "bear in" for r in k)
+
+
+def test_generalize_prepositions(spark):
+    hist = spark.createDataFrame(
+        [("bear in", "{arg1} <nsubjpass< {rel:postag=VBN} >prep_in> {arg2}",
+          4),
+         ("marry", "{arg1} <nsubj< {rel:postag=VBD} >dobj> {arg2}", 3)],
+        "rel string, pattern string, count long")
+    got = {r.rel: r.pattern for r in
+           generalize_prepositions(hist).collect()}
+    assert got["bear {prep}"] == (
+        "{arg1} <nsubjpass< {rel:postag=VBN} >{prep:regex=prep_(.*)}> "
+        "{arg2}")
+    assert got["marry"] == \
+        "{arg1} <nsubj< {rel:postag=VBD} >dobj> {arg2}"
+
+
+def test_paired_bootstrap_significance(spark):
+    from ollie_spark.bootstrap.evaluate import (
+        paired_bootstrap_significance)
+    rows_a, rows_b = [], []
+    for i in range(30):
+        # system A is right 90% of the time, B 10%
+        rows_a.append((f"d{i}", 0, 1 if i % 10 else 0))
+        rows_b.append((f"d{i}", 0, 0 if i % 10 else 1))
+    schema = "doc_id string, span_idx int, label int"
+    a = spark.createDataFrame(rows_a, schema)
+    b = spark.createDataFrame(rows_b, schema)
+    p = paired_bootstrap_significance(a, b, iterations=50)
+    assert p < 0.05  # A clearly better
+    p_self = paired_bootstrap_significance(a, a, iterations=20)
+    assert p_self == 1.0
+
+
+def test_brat_output():
+    from ollie_spark.extract.ollie import Ollie
+    from ollie_spark.extract.serialize import brat_output
+    from ollie_spark.spark.synth import parse_text
+    text = "OpenParse finds an example extraction ."
+    results = Ollie().extract(parse_text(text))
+    out = brat_output(text, results)
+    assert "T1\tArgument 0 9\tOpenParse" in out
+    assert "T2\tRelation 10 15\tfinds" in out
+    assert "R1\tExtraction Arg1:T1 Rel:T2 Arg2:T3" in out
