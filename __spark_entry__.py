@@ -175,59 +175,25 @@ def q11_dedup_exact(spark, sf_dir):
             .orderBy("lang"))
 
 
-_MINHASH_SEEDS = (17, 29, 43, 71)
-
-
-def _minhash_cols():
-    words = F.split(F.col("text"), " ")
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)))
-
-    def h(seed):
-        return F.array_min(F.transform(
-            shingles, lambda s: F.md5(F.concat(s, F.lit(f"#{seed}")))))
-
-    return [h(s).alias(f"mh{k}") for k, s in enumerate(_MINHASH_SEEDS)]
+from ollie_spark.spark.textops import (MINHASH_SEEDS as _MINHASH_SEEDS,  # noqa: E402
+                                       cosine as _lib_cosine,
+                                       doc_fingerprint, minhash_band_pairs,
+                                       ngram_jaccard_pairs, sign_cell,
+                                       simhash16, text_quality,
+                                       token_counts)
 
 
 def q12_dedup_minhash(spark, sf_dir):
-    """MinHash+LSH near-dup doc pairs: 4 md5-minhashes, 2 bands of 2;
-    pairs sharing a band bucket (a < b)."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", *_minhash_cols())
-    b1 = d.select("doc_id",
-                  F.concat_ws("|", "mh0", "mh1").alias("band_key"))
-    b2 = d.select("doc_id",
-                  F.concat_ws("|", "mh2", "mh3").alias("band_key"))
-    banded = b1.unionByName(b2)
-    a, b = banded.alias("a"), banded.alias("b")
-    return (a.join(b, "band_key")
-            .where(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct()
+    """MinHash+LSH near-dup doc pairs (ollie_spark.spark.textops)."""
+    return (minhash_band_pairs(_t(spark, sf_dir, "documents"))
             .orderBy("doc_a", "doc_b"))
 
 
 def q13_dedup_simhash(spark, sf_dir):
-    """16-bit SimHash per document from md5-nibble sign bits; cluster
-    sizes per (lang, simhash)."""
+    """SimHash cluster sizes per (lang, simhash)
+    (ollie_spark.spark.textops.simhash16)."""
     d = _t(spark, sf_dir, "documents")
-    words = F.array_distinct(F.split(F.col("text"), " "))
-
-    # factory keeps the lambda single/two-arg: pyspark passes an extra
-    # index column to wider lambdas
-    def bit_sum(i):
-        return lambda acc, w: acc + F.when(
-            F.substring(F.md5(w), i + 1, 1)
-            .isin("8", "9", "a", "b", "c", "d", "e", "f"),
-            F.lit(1)).otherwise(F.lit(-1))
-
-    sim = F.concat(*[
-        F.when(F.aggregate(words, F.lit(0), bit_sum(i)) >= 0,
-               F.lit("1")).otherwise(F.lit("0"))
-        for i in range(16)])
-    return (d.select("lang", sim.alias("simhash"))
+    return (d.select("lang", simhash16(F.col("text")).alias("simhash"))
             .groupBy("lang", "simhash")
             .agg(F.count("*").alias("n"))
             .where(F.col("n") >= 2)
@@ -236,89 +202,35 @@ def q13_dedup_simhash(spark, sf_dir):
 
 def q14_ngram_jaccard_pairs(spark, sf_dir):
     """Word-set Jaccard >= 0.8 between same-lang docs, blocked on
-    identical token count (cheap exact blocking)."""
-    d = _t(spark, sf_dir, "documents")
-    base = d.select(
-        "doc_id", "lang",
-        F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("tc"))
-    a, b = base.alias("a"), base.alias("b")
-    jac = (F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-           .cast("double")
-           / F.size(F.array_union(F.col("a.toks"), F.col("b.toks"))))
-    return (a.join(b, (F.col("a.lang") == F.col("b.lang"))
-                   & (F.col("a.tc") == F.col("b.tc"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .where(jac >= 0.8)
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"),
-                    F.round(jac, 4).alias("jaccard"))
+    identical token count (ollie_spark.spark.textops)."""
+    return (ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
+                                threshold=0.8, block_cols=("lang",))
             .orderBy("doc_a", "doc_b"))
 
 
-_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
-
-
 def q15_text_quality(spark, sf_dir):
-    """Language/quality heuristics: token stats, stopword ratio,
-    quality bucket."""
-    d = _t(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    n_tokens = F.size(words).cast("long")
-    stop = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS))) \
-        .cast("double")
-    stop_ratio = F.round(stop / n_tokens, 4)
-    avg_len = F.round(
-        (F.length("text") - n_tokens + 1).cast("double") / n_tokens, 4)
-    return (d.select(
-        "doc_id", "lang",
-        n_tokens.alias("n_tokens"),
-        stop_ratio.alias("stopword_ratio"),
-        avg_len.alias("avg_word_len"),
-        F.when(stop_ratio > 0.05, F.lit("high"))
-        .when(n_tokens >= 40, F.lit("medium"))
-        .otherwise(F.lit("low")).alias("quality"))
-        .orderBy("doc_id"))
+    """Language/quality heuristics (ollie_spark.spark.textops)."""
+    return text_quality(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
 def q16_token_count(spark, sf_dir):
-    """Whitespace tokens + a BPE-ish subword estimate
-    (ceil(len(word)/4)) per source."""
+    """Whitespace tokens + a BPE-ish subword estimate per source."""
     d = _t(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    subwords = F.aggregate(
-        words, F.lit(0).cast("long"),
-        lambda acc, w: acc + F.floor((F.length(w) + 3) / 4).cast("long"))
-    per_doc = d.select(
-        "source", F.size(words).cast("long").alias("ws"),
-        subwords.alias("sub"))
+    ws, sub = token_counts(F.col("text"))
+    per_doc = d.select("source", ws, sub)
     return (per_doc.groupBy("source")
             .agg(F.count("*").alias("n_docs"),
-                 F.sum("ws").alias("ws_tokens"),
-                 F.sum("sub").alias("subword_tokens"))
+                 F.sum("ws_tokens").alias("ws_tokens"),
+                 F.sum("subword_tokens").alias("subword_tokens"))
             .orderBy("source"))
 
 
 def q17_doc_fingerprint(spark, sf_dir):
     """Rolling-hash-style fingerprint: min md5 over word 5-grams."""
     d = _t(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - 5, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 5)))
-    fp = F.array_min(F.transform(grams, lambda g: F.md5(g)))
-    return (d.select("doc_id", fp.alias("fingerprint"))
+    return (d.select("doc_id",
+                     doc_fingerprint(F.col("text")).alias("fingerprint"))
             .orderBy("doc_id"))
-
-
-def _cosine(a, b):
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    return dot / (na * nb)
 
 
 def q18_ann_cosine_topk(spark, sf_dir):
@@ -329,7 +241,7 @@ def q18_ann_cosine_topk(spark, sf_dir):
                 .alias("emb"))
     q = e.where(F.col("vec_id") == 0) \
          .select(F.col("emb").alias("qemb"))
-    cos = F.round(_cosine(F.col("emb"), F.col("qemb")), 4)
+    cos = F.round(_lib_cosine(F.col("emb"), F.col("qemb")), 4)
     return (e.crossJoin(F.broadcast(q))
             .where(F.col("vec_id") != 0)
             .select("vec_id", cos.alias("cosine"))
@@ -345,14 +257,11 @@ def q19_ivf_bucketed_ann(spark, sf_dir):
         .select("vec_id", F.transform("embedding",
                                       lambda x: x.cast("double"))
                 .alias("emb"))
-    cell = F.concat(*[
-        F.when(F.element_at("emb", i + 1) >= 0, F.lit("1"))
-        .otherwise(F.lit("0")) for i in range(4)])
-    cells = e.withColumn("cell", cell)
+    cells = e.withColumn("cell", sign_cell(F.col("emb"), 4))
     q = cells.where(F.col("vec_id") == 0) \
              .select(F.col("emb").alias("qemb"),
                      F.col("cell").alias("qcell"))
-    cos = F.round(_cosine(F.col("emb"), F.col("qemb")), 4)
+    cos = F.round(_lib_cosine(F.col("emb"), F.col("qemb")), 4)
     return (cells.join(F.broadcast(q),
                        cells.cell == F.col("qcell"))
             .where(F.col("vec_id") != 0)
@@ -393,6 +302,21 @@ def kg_graph_edges(spark, sf_dir):
     return edges.select("src_node", "rel", "dst_node", "weight")
 
 
+def kg_media_features(spark, sf_dir):
+    """Multimodal plumbing: media spans -> decode (deterministic stub)
+    -> typed metadata + embeddings -> ANN cells."""
+    from ollie_spark.spark.corpus import corpus
+    from ollie_spark.spark.multimodal import (extract_media_features,
+                                              media_ann_buckets,
+                                              media_spans)
+    n_docs = _t(spark, sf_dir, "documents").count()
+    feats = extract_media_features(
+        media_spans(corpus(spark, n_docs, seed=42)))
+    return media_ann_buckets(feats).select(
+        "doc_id", "span_idx", "kind", "media_ref", "width", "height",
+        "duration_ms", "n_frames", "cell")
+
+
 def kg_nary(spark, sf_dir):
     from ollie_spark.spark.corpus import corpus
     from ollie_spark.spark.nary import nary_extractions
@@ -427,6 +351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_monthly_order_trend": q20_monthly_order_trend,
         "kg_extract_mentions": kg_extract_mentions,
         "kg_graph_edges": kg_graph_edges,
+        "kg_media_features": kg_media_features,
         "kg_nary": kg_nary,
     }
 
