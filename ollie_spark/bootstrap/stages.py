@@ -169,6 +169,88 @@ def build_templates(histogram: DataFrame,
     return agg.where(n_rel == 1)
 
 
+def slot_semantics(induced: DataFrame, min_word_count: int = 5
+                   ) -> DataFrame:
+    """B10 (BuildTemplates.scala:367-390): slots gain a lemma-regex
+    constraint built from the words observed in that slot >= min times.
+
+    Word bags aggregate per (pattern, slot index); the rewrite itself is
+    a native aggregate of regexp_replace steps — no Python."""
+    with_slots = (induced
+                  .select("pattern", F.posexplode("slots")
+                          .alias("slot_idx", "word")))
+    bags = (with_slots.groupBy("pattern", "slot_idx", "word").count()
+            .where(F.col("count") >= min_word_count)
+            .groupBy("pattern", "slot_idx")
+            .agg(F.array_join(F.array_sort(F.collect_set("word")), "|")
+                 .alias("slot_regex")))
+    per_pattern = (bags.groupBy("pattern")
+                   .agg(F.collect_list(F.struct("slot_idx", "slot_regex"))
+                        .alias("constraints")))
+    rewritten = F.aggregate(
+        "constraints", F.col("pattern"),
+        lambda acc, c: F.regexp_replace(
+            acc,
+            F.concat(F.lit(r"\{slot"), c.slot_idx.cast("string"),
+                     F.lit(r":postag=([A-Z$]+)}")),
+            F.concat(F.lit("{slot"), c.slot_idx.cast("string"),
+                     F.lit(":postag=$1:regex="), c.slot_regex,
+                     F.lit("}"))))
+    rewrites = per_pattern.select(
+        "pattern", rewritten.alias("constrained_pattern"))
+    return (induced.join(F.broadcast(rewrites), "pattern", "left")
+            .withColumn("pattern", F.coalesce("constrained_pattern",
+                                              "pattern"))
+            .drop("constrained_pattern"))
+
+
+def load_categories(base_dir: str | None = None) -> dict:
+    """Category word lists for B12 (person / location).  Loaded from
+    the published Ollie resources when available (they are large
+    learned word lists, not code); {} when absent."""
+    import os
+    from pathlib import Path
+    base = Path(base_dir or os.environ.get(
+        "OLLIE_CATEGORIES_DIR",
+        "/root/reference/core/src/main/resources/edu/knowitall/"
+        "openparse/categories"))
+    out = {}
+    if base.is_dir():
+        for p in sorted(base.glob("*")):
+            if p.is_file():
+                out[p.stem] = sorted(
+                    {w.strip() for w in p.read_text().splitlines()
+                     if w.strip()})
+    return out
+
+
+def generalize_templates(model: DataFrame, categories: dict,
+                         min_overlap: float = 0.75,
+                         min_lemmas: int = 10) -> DataFrame:
+    """B12 (template/GeneralizeTemplate.scala:73-131): widen a rel
+    matcher's lexical regex to a whole category when >= min_overlap of
+    its lemmas fall in that category (NN/NNS matchers with >=
+    min_lemmas lemmas)."""
+    if not categories:
+        return model
+    rel_regex = F.regexp_extract(
+        "pattern", r"\{rel:postag=(NNS?):regex=([^}]*)\}", 2)
+    lemmas = F.split(rel_regex, r"\|")
+    out = model.withColumn("_lemmas", lemmas)
+    expr = F.col("pattern")
+    for name, words in categories.items():
+        cat = F.array(*[F.lit(w) for w in words])
+        overlap = (F.size(F.array_intersect(F.col("_lemmas"), cat))
+                   / F.size("_lemmas"))
+        widened = F.regexp_replace(
+            "pattern", r"(\{rel:postag=NNS?:regex=)[^}]*(\})",
+            "$1" + "|".join(words) + "$2")
+        expr = F.when(
+            (F.size("_lemmas") >= min_lemmas)
+            & (overlap >= min_overlap), widened).otherwise(expr)
+    return out.withColumn("pattern", expr).drop("_lemmas")
+
+
 def passive_reflections(templates: DataFrame) -> DataFrame:
     """B13 (template/PassiveReflections.scala:54-96): nsubj patterns
     gain a passive twin ('be '+template, args swapped and nsubj ->
@@ -209,11 +291,14 @@ def counts_to_confidence(templates: DataFrame) -> DataFrame:
 def train_model(seeds: DataFrame, max_length: int | None = 4,
                 min_common: int = 1, min_diverse: int = 1,
                 min_template_count: int = 1,
-                with_reflections: bool = False) -> DataFrame:
+                with_reflections: bool = False,
+                slot_min_count: int | None = None) -> DataFrame:
     """The full chain: seeds -> model(template, pattern, conf)."""
     induced = induce_patterns(seeds, max_length)
     common = keep_common_patterns(induced, min_common)
     diverse = keep_diverse_patterns(common, min_diverse)
+    if slot_min_count is not None:
+        diverse = slot_semantics(diverse, slot_min_count)
     hist = generalize_prepositions(template_histogram(diverse))
     templates = build_templates(hist, min_template_count)
     if with_reflections:

@@ -97,3 +97,42 @@ def test_brat_output():
     assert "T1\tArgument 0 9\tOpenParse" in out
     assert "T2\tRelation 10 15\tfinds" in out
     assert "R1\tExtraction Arg1:T1 Rel:T2 Arg2:T3" in out
+
+
+def test_slot_semantics(spark):
+    from ollie_spark.bootstrap.stages import slot_semantics
+    rows = [("arrive in", "a", "b", "l",
+             "{arg1} <nsubj< {rel:postag=VBD} <rcmod< {slot0:postag=NN} "
+             ">prep_to> {arg2}", ["trip"])] * 6
+    rows += [("arrive in", "a", "b", "l",
+              "{arg1} <nsubj< {rel:postag=VBD} <rcmod< {slot0:postag=NN} "
+              ">prep_to> {arg2}", ["visit"])] * 2
+    induced = spark.createDataFrame(
+        rows, "rel string, arg1 string, arg2 string, lemmas string, "
+              "pattern string, slots array<string>")
+    got = slot_semantics(induced, min_word_count=5).collect()
+    # 'trip' seen 6x -> becomes a slot constraint; 'visit' (2x) doesn't
+    pats = {r.pattern for r in got}
+    assert pats == {
+        "{arg1} <nsubj< {rel:postag=VBD} <rcmod< "
+        "{slot0:postag=NN:regex=trip} >prep_to> {arg2}"}
+
+
+def test_generalize_templates(spark):
+    from ollie_spark.bootstrap.stages import generalize_templates
+    cats = {"person": ["president", "founder", "director", "chairman",
+                       "owner", "manager", "chief", "head", "leader",
+                       "boss", "captain", "principal"]}
+    model = spark.createDataFrame(
+        [("be {rel} of",
+          "{arg1} >appos> {rel:postag=NN:regex=president|founder|director"
+          "|chairman|owner|manager|chief|head|leader|boss} "
+          ">prep_of> {arg2}", 0.5),
+         ("be {rel} of",
+          "{arg1} >appos> {rel:postag=NN:regex=cat|dog} >prep_of> {arg2}",
+          0.2)],
+        "template string, pattern string, conf double")
+    got = generalize_templates(model, cats).collect()
+    widened = [r.pattern for r in got if "principal" in r.pattern]
+    assert len(widened) == 1  # 10/10 lemmas in category -> widened
+    assert any("regex=cat|dog" in r.pattern for r in got)  # untouched
