@@ -270,6 +270,26 @@ def q19_ivf_bucketed_ann(spark, sf_dir):
             .limit(5))
 
 
+def q21_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, IVF-blocked: candidates
+    share a sign cell (16 cells over 4 dims), verified by cosine >=
+    0.62.  The cell join is the 100TB path — no all-pairs."""
+    e = _t(spark, sf_dir, "embeddings") \
+        .select("vec_id", F.transform("embedding",
+                                      lambda x: x.cast("double"))
+                .alias("emb"))
+    cells = e.withColumn("cell", sign_cell(F.col("emb"), 4))
+    a, b = cells.alias("a"), cells.alias("b")
+    cos = F.round(_lib_cosine(F.col("a.emb"), F.col("b.emb")), 4)
+    return (a.join(b, "cell")
+            .where(F.col("a.vec_id") < F.col("b.vec_id"))
+            .where(cos >= 0.62)
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"),
+                    cos.alias("cosine"))
+            .orderBy("vec_a", "vec_b"))
+
+
 def q20_monthly_order_trend(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     month = F.date_trunc("month", F.col("o_orderdate"))
@@ -349,6 +369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_ann_cosine_topk": q18_ann_cosine_topk,
         "q19_ivf_bucketed_ann": q19_ivf_bucketed_ann,
         "q20_monthly_order_trend": q20_monthly_order_trend,
+        "q21_embedding_neardup": q21_embedding_neardup,
         "kg_extract_mentions": kg_extract_mentions,
         "kg_graph_edges": kg_graph_edges,
         "kg_media_features": kg_media_features,
@@ -381,6 +402,10 @@ def oracle_sql() -> dict[str, str]:
            "x -> x[1]*x[2])) / "
            "(sqrt(list_sum(list_transform(a.emb, x -> x*x))) * "
            "sqrt(list_sum(list_transform(q.qemb, x -> x*x))))")
+    cos_ab = ("list_sum(list_transform(list_zip(a.emb, b.emb), "
+              "x -> x[1]*x[2])) / "
+              "(sqrt(list_sum(list_transform(a.emb, x -> x*x))) * "
+              "sqrt(list_sum(list_transform(b.emb, x -> x*x))))")
     return {
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -565,6 +590,26 @@ def oracle_sql() -> dict[str, str]:
             FROM c a, q
             WHERE a.cell = q.qcell AND a.vec_id != 0
             ORDER BY cosine DESC, a.vec_id LIMIT 5""",
+        "q21_embedding_neardup": f"""
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding,
+                                             x -> CAST(x AS DOUBLE)) AS emb
+                       FROM embeddings),
+                 c AS (SELECT vec_id, emb,
+                              (CASE WHEN emb[1] >= 0 THEN '1' ELSE '0' END)
+                              || (CASE WHEN emb[2] >= 0 THEN '1' ELSE '0'
+                                  END)
+                              || (CASE WHEN emb[3] >= 0 THEN '1' ELSE '0'
+                                  END)
+                              || (CASE WHEN emb[4] >= 0 THEN '1' ELSE '0'
+                                  END) AS cell
+                       FROM e)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND({cos_ab}, 4) AS cosine
+            FROM c a JOIN c b USING (cell)
+            WHERE a.vec_id < b.vec_id
+              AND ROUND({cos_ab}, 4) >= 0.62
+            ORDER BY vec_a, vec_b""",
         "q20_monthly_order_trend": """
             SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
                        AS month,
