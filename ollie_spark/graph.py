@@ -78,7 +78,7 @@ class Node:
     def indices(self):
         return (self.start, self.end)
 
-    @property
+    @cached_property
     def sort_key(self):
         return (self.start, self.end, self.text)
 
@@ -212,6 +212,13 @@ class DependencyGraph:
     @cached_property
     def edge_labels(self):
         return frozenset(e.label for e in self.edges)
+
+    @cached_property
+    def edges_by_label(self):
+        idx = {}
+        for e in self.edges:
+            idx.setdefault(e.label, []).append(e)
+        return idx
 
     def out_edges(self, node):
         return self._out.get(node.sort_key, ())

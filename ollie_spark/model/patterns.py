@@ -57,7 +57,13 @@ class NodeMatcher:
         p = self.alias[:3]
         return {"arg": "argument", "rel": "relation", "slo": "slot"}.get(p)
 
+    @cached_property
+    def trivial(self) -> bool:
+        return self.postag is None and self.regex is None
+
     def matches(self, node: Node) -> bool:
+        if self.postag is None and self.regex is None:
+            return True
         if self.postag is not None and node.postag != self.postag:
             return False
         if self.regex is not None and not self._compiled.fullmatch(
@@ -281,7 +287,21 @@ def match_pattern(pattern: Pattern, graph: DependencyGraph,
             if nm.alias:
                 node_groups.pop(nm.alias, None)
 
-    starts = [start] if start is not None else graph.nodes
+    if start is not None:
+        starts = [start]
+    elif len(matchers) > 1 and matchers[1].label is not None:
+        # anchor on the first edge matcher's label: candidate starts are
+        # the near endpoints of edges carrying that label
+        em = matchers[1]
+        cand = graph.edges_by_label.get(em.label, ())
+        seen, starts = set(), []
+        for e in cand:
+            n = e.src if em.direction == "down" else e.dst
+            if n.sort_key not in seen:
+                seen.add(n.sort_key)
+                starts.append(n)
+    else:
+        starts = graph.nodes
     for n in starts:
         if not first.matches(n):
             continue
