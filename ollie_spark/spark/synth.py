@@ -191,6 +191,63 @@ def _t6_rec(t):
     return None
 
 
+def _t7_build(s):
+    """Appositive relnoun + main clause: two extractions per sentence."""
+    f, l, r, o, v, n = s
+    toks = [_n(f, "NNP", 0), _n(l, "NNP", 1), _n(",", ",", 2),
+            _n("the", "DT", 3), _n(r, "NN", 4), _n("of", "IN", 5),
+            _n(o, "NNP", 6), _n(",", ",", 7), _n(v, "VBD", 8),
+            _n("the", "DT", 9), _n(n, "NN", 10), _n(".", ".", 11)]
+    edges = [Edge("nn", toks[1], toks[0]), Edge("nsubj", toks[8], toks[1]),
+             Edge("punct", toks[1], toks[2]),
+             Edge("appos", toks[1], toks[4]),
+             Edge("det", toks[4], toks[3]),
+             Edge("prep_of", toks[4], toks[6]),
+             Edge("punct", toks[1], toks[7]),
+             Edge("dobj", toks[8], toks[10]),
+             Edge("det", toks[10], toks[9]),
+             Edge("punct", toks[8], toks[11])]
+    text = f"{f} {l} , the {r} of {o} , {v} the {n} ."
+    return text, _g(toks, edges), [
+        (f"{f} {l}", v, f"the {n}", None, None),
+        (f"{f} {l}", f"be the {r} of", o, None, None)]
+
+
+def _t7_rec(t):
+    if (len(t) == 12 and t[0] in _FIRST and t[1] in _LAST and t[2] == ","
+            and t[3] == "the" and t[4] in _RELNOUN and t[5] == "of"
+            and t[6] in _ORG and t[7] == "," and t[8] in _VBD
+            and t[9] == "the" and t[10] in _NOUN and t[11] == "."):
+        return (t[0], t[1], t[4], t[6], t[8], t[10])
+    return None
+
+
+def _t8_build(s):
+    """Rel-rel xcomp: 'is going to <vb>'."""
+    f, l, n = s
+    toks = [_n(f, "NNP", 0), _n(l, "NNP", 1), _n("is", "VBZ", 2),
+            _n("going", "VBG", 3), _n("to", "TO", 4),
+            _n("visit", "VB", 5), _n("the", "DT", 6), _n(n, "NN", 7),
+            _n(".", ".", 8)]
+    edges = [Edge("nn", toks[1], toks[0]), Edge("nsubj", toks[3], toks[1]),
+             Edge("aux", toks[3], toks[2]), Edge("xcomp", toks[3], toks[5]),
+             Edge("aux", toks[5], toks[4]),
+             Edge("dobj", toks[5], toks[7]),
+             Edge("det", toks[7], toks[6]),
+             Edge("punct", toks[3], toks[8])]
+    text = f"{f} {l} is going to visit the {n} ."
+    return text, _g(toks, edges), [
+        (f"{f} {l}", "is going to visit", f"the {n}", None, None)]
+
+
+def _t8_rec(t):
+    if (len(t) == 9 and t[0] in _FIRST and t[1] in _LAST
+            and t[2:6] == ["is", "going", "to", "visit"] and t[6] == "the"
+            and t[7] in _NOUN and t[8] == "."):
+        return (t[0], t[1], t[7])
+    return None
+
+
 def _pick(rng, xs):
     return xs[rng.randrange(len(xs))]
 
@@ -215,6 +272,11 @@ TEMPLATES = [
     (1, _t6_build, _t6_rec,
      lambda r: (_pick(r, FIRST), _pick(r, LAST), _pick(r, PLACE),
                 _pick(r, PLACE))),
+    (2, _t7_build, _t7_rec,
+     lambda r: (_pick(r, FIRST), _pick(r, LAST), _pick(r, RELNOUN),
+                _pick(r, ORG), _pick(r, VBD), _pick(r, NOUN))),
+    (1, _t8_build, _t8_rec,
+     lambda r: (_pick(r, FIRST), _pick(r, LAST), _pick(r, NOUN))),
 ]
 
 _CUM = []
