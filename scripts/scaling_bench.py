@@ -94,7 +94,7 @@ Generated: {ts} · corpus: {args.n_docs} interleaved docs (seed=42)
 **Scaling efficiency: {eff:.3f}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
 
 Reference single-thread baseline: 89 sentences/s (BASELINE.md);
-this engine single-core: ~900 sentences/s (pattern matching only;
+this engine single-core: ~1.6k sentences/s (pattern matching only;
 the reference number includes MaltParser time).
 
 Raw: N={json.dumps(r_lo)}
