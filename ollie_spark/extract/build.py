@@ -351,6 +351,7 @@ class OpenParse:
         """-> list[(conf, DetailedExtraction)], best first."""
         graph = self.simplify_graph(graph)
         labels = graph.edge_labels
+        has_prep = any(l.startswith("prep") for l in labels)
 
         results = []
         for ex in self.extractors:
@@ -358,9 +359,8 @@ class OpenParse:
             # edges are prep_* captures, checked against any prep label
             if not ex.pattern.required_labels <= labels:
                 continue
-            if any(e.regex is not None for e in ex.pattern.edge_matchers):
-                if not any(l.startswith("prep") for l in labels):
-                    continue
+            if ex.pattern.has_regex_edge and not has_prep:
+                continue
             for extr in ex.extract(
                     graph, expand=self.config.expand_extraction,
                     restrict_arguments=self.config.restrict_arguments):

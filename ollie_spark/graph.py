@@ -273,6 +273,8 @@ class DependencyGraph:
     # -- simplifications ----------------------------------------------------
 
     def simplify_postags(self) -> "DependencyGraph":
+        if not any(n.postag in _SIMPLIFY_POSTAG for n in self.nodes):
+            return self
         def fix(n):
             return n.with_postag(_SIMPLIFY_POSTAG.get(n.postag, n.postag))
         return self._map_nodes(fix)
@@ -390,6 +392,9 @@ class DependencyGraph:
         in ``nodes`` as standalone tokens (needed for span expansion).
         Already-collapsed graphs pass through unchanged.
         """
+        if not any(e.label in ("prep", "cc", "pobj", "pcomp", "conj")
+                   for e in self.edges):
+            return self
         out = self._out
         drop = set()
         new_edges = []

@@ -163,7 +163,7 @@ class Pattern:
     """A compiled dependency-path pattern."""
 
     __slots__ = ("matchers", "node_matchers", "edge_matchers", "source",
-                 "required_labels")
+                 "required_labels", "has_regex_edge")
 
     def __init__(self, matchers, source=None):
         self.matchers = list(matchers)
@@ -173,6 +173,8 @@ class Pattern:
         # R7 feasibility index: exact labels every match needs
         self.required_labels = frozenset(
             e.label for e in self.edge_matchers if e.label is not None)
+        self.has_regex_edge = any(
+            e.regex is not None for e in self.edge_matchers)
 
     @classmethod
     def deserialize(cls, s: str) -> "Pattern":

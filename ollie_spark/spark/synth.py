@@ -354,4 +354,27 @@ FIXTURE_PARSES = {
         "advmod(fled_VBD_2_0, chaotically_RB_3_0); "
         "det(barn_NN_6_0, the_DT_5_0); "
         "prep_towards(fled_VBD_2_0, barn_NN_6_0)",
+    "Microsoft co-founder Bill Gates spoke at a conference on Monday .":
+        "(at_IN_5_0), (on_IN_8_0), (._._10_0), "
+        "nn(Gates_NNP_3_0, Microsoft_NNP_0_0); "
+        "nn(Gates_NNP_3_0, co-founder_NN_1_0); "
+        "nn(Gates_NNP_3_0, Bill_NNP_2_0); "
+        "nsubj(spoke_VBD_4_0, Gates_NNP_3_0); "
+        "prep_at(spoke_VBD_4_0, conference_NN_7_0); "
+        "det(conference_NN_7_0, a_DT_6_0); "
+        "prep_on(spoke_VBD_4_0, Monday_NNP_9_0)",
+    "The 2012 Sasquatch music festival is scheduled for May 25th to "
+    "May 28th .":
+        "(for_IN_7_0), (to_IN_10_0), (._._13_0), "
+        "det(festival_NN_4_0, The_DT_0_0); "
+        "num(festival_NN_4_0, 2012_CD_1_0); "
+        "nn(festival_NN_4_0, Sasquatch_NNP_2_0); "
+        "nn(festival_NN_4_0, music_NN_3_0); "
+        "nsubjpass(scheduled_VBN_6_0, festival_NN_4_0); "
+        "auxpass(scheduled_VBN_6_0, is_VBZ_5_0); "
+        "prep_for(scheduled_VBN_6_0, 25th_CD_9_0); "
+        "nn(25th_CD_9_0, May_NNP_8_0); "
+        "prep_to(scheduled_VBN_6_0, 28th_CD_12_0); "
+        "nn(28th_CD_12_0, May_NNP_11_0); "
+        "punct(scheduled_VBN_6_0, ._._13_0)",
 }

@@ -131,3 +131,29 @@ def test_error_shielding(spark):
     errs = extraction_errors(docs).collect()
     assert len(errs) == 1 and errs[0].error == "unparseable"
     assert run_extraction(docs).count() == 0
+
+
+def test_readme_examples_parity(spark):
+    """README.md:56-90 of the reference: default-model outputs for the
+    documented example sentences, including the n-ary rollup."""
+    from ollie_spark.spark.corpus import DOCUMENTS_SCHEMA
+    from ollie_spark.spark.nary import nary_extractions
+    docs = spark.createDataFrame(
+        [("rm-0", [("text", "Microsoft co-founder Bill Gates spoke at a "
+                    "conference on Monday .", None, 0)]),
+         ("rm-1", [("text", "The 2012 Sasquatch music festival is "
+                    "scheduled for May 25th to May 28th .", None, 0)])],
+        schema=DOCUMENTS_SCHEMA)
+    m = run_extraction(docs)
+    triples = {(r.doc_id, r.arg1_text, r.rel_text, r.arg2_text)
+               for r in m.collect()}
+    assert ("rm-0", "Bill Gates", "be co-founder of",
+            "Microsoft") in triples
+    assert ("rm-1", "The 2012 Sasquatch music festival",
+            "is scheduled for", "May 25th") in triples
+    nary = nary_extractions(m).collect()
+    sas = [r for r in nary if r.doc_id == "rm-1"]
+    assert len(sas) == 1
+    assert sas[0].rel_base == "is scheduled"
+    assert [(s.prep, s.arg2) for s in sas[0].suffixes] == [
+        ("for", "May 25th"), ("to", "May 28th")]
