@@ -112,10 +112,22 @@ def lsh_candidate_pairs(entities: DataFrame, num_hashes: int = 16,
              .select(F.col("a.norm").alias("norm_a"),
                      F.col("b.norm").alias("norm_b"))
              .distinct())
-    ta = F.array_distinct(F.split("norm_a", " "))
-    tb = F.array_distinct(F.split("norm_b", " "))
-    jac = (F.size(F.array_intersect(ta, tb))
-           / F.size(F.array_union(ta, tb)))
+
+    # verify candidates with exact char-3-gram Jaccard — the same
+    # feature space the MinHash blocking approximates, so abbreviation
+    # variants ("acme corp" / "acme corporation") survive where
+    # token-level Jaccard would reject them
+    def grams(c):
+        col = F.col(c)
+        return F.array_distinct(F.when(
+            F.length(col) < 3, F.array(col)
+        ).otherwise(
+            F.transform(F.sequence(F.lit(1), F.length(col) - 2),
+                        lambda i: col.substr(i, F.lit(3)))))
+
+    ga, gb = grams("norm_a"), grams("norm_b")
+    jac = (F.size(F.array_intersect(ga, gb))
+           / F.size(F.array_union(ga, gb)))
     return pairs.where(jac >= F.lit(jaccard_threshold))
 
 

@@ -119,3 +119,27 @@ def test_stage_writer_resume(spark, mentions, tmp_path):
     # lineage metrics exist per bucket
     metrics = w2.metrics("mentions")
     assert metrics.select("bucket").distinct().count() == 8
+
+
+def test_canonicalize_merges_alias_surface_forms(spark):
+    """'Acme Corporation' and 'the Acme Corp' mentions resolve to one
+    canonical node through blocking + CC + salted join."""
+    rows = []
+    for i in range(6):
+        rows.append((f"d{i}", 0, "Alice Baker", "founded",
+                     "Acme Corporation", 0.9))
+    for i in range(6, 10):
+        rows.append((f"d{i}", 0, "Alice Baker", "founded",
+                     "the Acme Corp", 0.9))
+    mentions = spark.createDataFrame(
+        rows, "doc_id string, span_idx int, arg1_text string, "
+              "rel_text string, arg2_text string, conf double")
+    linked, nodes, edges = canonicalize(mentions, salt=2)
+    arg2_nodes = {r.arg2_node for r in linked.collect()}
+    assert len(arg2_nodes) == 1, arg2_nodes
+    node = nodes.where(F.col("node_id").isin(list(arg2_nodes))).collect()
+    assert len(node) == 1
+    assert set(node[0].aliases) == {"acme corporation", "acme corp"}
+    assert node[0].mention_count == 10
+    e = edges.collect()
+    assert len(e) == 1 and e[0].weight == 10
