@@ -56,3 +56,32 @@ def test_feature_values_sane():
         assert all(v in (0.0, 1.0) or 0.0 <= v <= 1.0
                    for v in r.features)
         assert 0.0 < r.conf < 1.0
+
+
+def test_reference_training_data_parses_and_scores():
+    """All 956 labelled instances from the reference's training data
+    parse through our codecs, and the shipped classifier scored with
+    OUR feature battery beats the majority-class base rate — the
+    published weights only work if the features line up."""
+    import pytest
+    from pathlib import Path
+    from ollie_spark.bootstrap.reference_data import (
+        feature_rows, load_training_instances)
+    from ollie_spark.extract.features import (feature_names,
+                                              ollie_confidence)
+    from ollie_spark.model.loader import load_classifier
+
+    if not Path("/root/reference/data/training.tsv").exists():
+        pytest.skip("reference training data not available")
+    insts, errors = load_training_instances()
+    assert len(insts) == 956 and errors == 0
+    intercept, weights = load_classifier()
+    order = feature_names(weights)
+    rows = feature_rows(insts, order)
+    correct = sum(
+        int((ollie_confidence(dict(zip(order, f)), intercept, weights)
+             >= 0.5) == bool(l)) for f, l in rows)
+    base = max(sum(l for _, l in rows),
+               len(rows) - sum(l for _, l in rows))
+    assert correct > base  # beats majority class
+    assert correct / len(rows) > 0.73
