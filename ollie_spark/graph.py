@@ -392,8 +392,8 @@ class DependencyGraph:
         in ``nodes`` as standalone tokens (needed for span expansion).
         Already-collapsed graphs pass through unchanged.
         """
-        if not any(e.label in ("prep", "cc", "pobj", "pcomp", "conj")
-                   for e in self.edges):
+        if not any(e.label in ("prep", "cc", "pobj", "pcomp")
+                   or e.label.startswith("conj") for e in self.edges):
             return self
         out = self._out
         drop = set()
@@ -429,7 +429,59 @@ class DependencyGraph:
                 new_edges.append(Edge("conj_" + cc_word[e.src.sort_key], e.src, e.dst))
             else:
                 new_edges.append(e)
+        new_edges = _propagate_conjuncts(new_edges)
         return DependencyGraph(self.nodes, new_edges, text=self._text)
+
+
+# CC-processed propagation (Stanford collapsed-CC semantics, evidenced
+# by the reference's emitted triples on its own training sentences):
+# - conjoined predicates SHARE SUBJECTS ('was called back ... and
+#   registered' -> nsubjpass on both verbs): outgoing subject edges copy
+#   across the conj edge;
+# - conjoined arguments share their governor's relation ('left Death
+#   Row Records and the music industry' -> dobj to both): incoming core
+#   edges copy across the conj edge.
+# Object/prep edges do NOT copy onto conjoined verbs — the reference's
+# rel expansion emits plain 'wrote' for 'X wrote a report ... and Y
+# wrote a report ...', which a propagated dobj would break.
+_CONJ_SHARE_SUBJECT = frozenset({"nsubj", "nsubjpass", "csubj",
+                                 "csubjpass"})
+_CONJ_SHARE_GOVERNOR = frozenset({"nsubj", "nsubjpass", "dobj", "iobj",
+                                  "pobj", "agent"})
+
+
+def _propagate_conjuncts(edges):
+    for _ in range(3):
+        present = {(e.label, e.src.sort_key, e.dst.sort_key)
+                   for e in edges}
+        subj_by_src, in_by_dst = {}, {}
+        for e in edges:
+            if e.label in _CONJ_SHARE_SUBJECT:
+                subj_by_src.setdefault(e.src.sort_key, []).append(e)
+            if e.label in _CONJ_SHARE_GOVERNOR \
+                    or e.label.startswith("prep"):
+                in_by_dst.setdefault(e.dst.sort_key, []).append(e)
+        added = []
+
+        def copy(label, src, dst):
+            key = (label, src.sort_key, dst.sort_key)
+            if key not in present and src.sort_key != dst.sort_key:
+                present.add(key)
+                added.append(Edge(label, src, dst))
+
+        for c in [e for e in edges if e.label.startswith("conj")]:
+            for a, b in ((c.src, c.dst), (c.dst, c.src)):
+                # conjoined verbs share their subjects
+                for e in subj_by_src.get(a.sort_key, ()):
+                    copy(e.label, b, e.dst)
+                # conjoined dependents share their governor's relation
+                for e in in_by_dst.get(a.sort_key, ()):
+                    if e.src.sort_key != b.sort_key:
+                        copy(e.label, e.src, b)
+        if not added:
+            break
+        edges = list(edges) + added
+    return edges
 
 
 def _split_pickle(pickled: str):
