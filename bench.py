@@ -77,9 +77,17 @@ def main():
         .write.mode("overwrite").parquet(corpus_dir)
     docs = spark.read.parquet(corpus_dir).repartition(CPUS * 4)
     t0 = time.monotonic()
-    n_triples = run_extraction(docs).count()
+    mentions = run_extraction(docs).persist()
+    n_triples = mentions.count()
     extract_sec = time.monotonic() - t0
     timings["kg_extract"] = round(extract_sec, 3)
+
+    # linking + canonicalization over the extracted mentions
+    from ollie_spark.spark.linking import canonicalize
+    t0 = time.monotonic()
+    _, nodes, edges = canonicalize(mentions)
+    n_nodes, n_edges = nodes.count(), edges.count()
+    timings["kg_link"] = round(time.monotonic() - t0, 3)
 
     total = round(time.monotonic() - t_total0, 3)
     out = {
@@ -93,6 +101,8 @@ def main():
             "triples": n_triples,
             "docs_per_sec": round(n_docs / extract_sec, 1),
             "triples_per_sec": round(n_triples / extract_sec, 1),
+            "nodes": n_nodes,
+            "edges": n_edges,
             "cpus": CPUS,
         },
     }

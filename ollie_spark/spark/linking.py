@@ -146,12 +146,19 @@ def dropped_buckets(entities: DataFrame, num_hashes: int = 16,
 
 
 def connected_components(pairs: DataFrame, vertices: DataFrame,
-                         max_iter: int = 15) -> DataFrame:
+                         max_iter: int = 15,
+                         local_threshold: int = 1_000_000) -> DataFrame:
     """Min-label propagation: (norm, component) for every vertex.
 
     Only vertices that occur in ``pairs`` enter the iteration — at web
     scale almost all entities are isolated (component = self) and must
-    not be dragged through O(log n) join rounds."""
+    not be dragged through O(log n) join rounds.
+
+    When the candidate-pair set is small (<= local_threshold, counted),
+    components resolve with a driver-side union-find and broadcast back
+    — the same small-side escape hatch as a broadcast join; the
+    distributed loop remains the path for genuinely large near-dup
+    graphs."""
     sym = (pairs.select(F.col("norm_a").alias("src"),
                         F.col("norm_b").alias("dst"))
            .unionByName(pairs.select(F.col("norm_b").alias("src"),
@@ -161,6 +168,30 @@ def connected_components(pairs: DataFrame, vertices: DataFrame,
     isolated = (vertices.select("norm")
                 .join(connected_verts, "norm", "left_anti")
                 .select("norm", F.col("norm").alias("component")))
+
+    n_pairs = sym.count() // 2
+    if n_pairs == 0:
+        return isolated
+    if n_pairs <= local_threshold:
+        parent = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in pairs.select("norm_a", "norm_b").collect():
+            for v in (r.norm_a, r.norm_b):
+                parent.setdefault(v, v)
+            ra, rb = find(r.norm_a), find(r.norm_b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = [(v, find(v)) for v in parent]
+        spark = pairs.sparkSession
+        local = spark.createDataFrame(rows, "norm string, component string")
+        return local.unionByName(isolated)
+
     labels = connected_verts.select(
         "norm", F.col("norm").alias("component"))
     for _ in range(max_iter):
@@ -213,8 +244,11 @@ def canonicalize(mentions: DataFrame, num_hashes: int = 16,
                                 bands=bands)
     comp = connected_components(pairs, entities)
 
+    # the canonical map is per-distinct-entity (small next to mentions)
+    # and feeds three downstream consumers — persist once
     canon = (counts.join(comp, "norm")
-             .withColumn("node_id", F.col("component")))
+             .withColumn("node_id", F.col("component"))
+             .persist())
 
     nodes = (canon.groupBy("node_id")
              .agg(F.max_by("surface", "n").alias("canonical"),
