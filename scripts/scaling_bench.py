@@ -131,7 +131,7 @@ rolls off with core count because the Arrow+python extraction stage is
 memory-bandwidth bound. On a real cluster 4N executors bring 4x the
 bandwidth, so these figures are a conservative lower bound on
 multi-host scaling. Reference single-thread baseline: 89 sentences/s
-(BASELINE.md); this engine single-core: ~1.8k sentences/s.
+(BASELINE.md); this engine single-core: ~1.3-1.8k sentences/s (machine-state dependent).
 
 Raw:
 primary N={json.dumps(p_lo)}
