@@ -88,8 +88,6 @@ def find_bipaths(lemmas: set, graph: DependencyGraph,
     by_text = {}
     for n in all_nodes:
         by_text.setdefault(n.text, set()).add(n.sort_key)
-    uniq = {k: v for k, v in
-            ((n.sort_key, n) for n in all_nodes)}.values()
     texts = sorted(by_text)
     combos = [[]]
     node_by_key = {n.sort_key: n for n in all_nodes}
