@@ -214,16 +214,19 @@ def connected_components(pairs: DataFrame, vertices: DataFrame,
 
 
 def salted_join(big: DataFrame, small: DataFrame, key: str,
-                salt: int = 8) -> DataFrame:
+                salt: int = 8, keep_salt: bool = False) -> DataFrame:
     """Equi-join where ``big`` is heavily skewed on ``key``: replicate
-    ``small`` ``salt`` ways, spray ``big`` across the salt space."""
+    ``small`` ``salt`` ways, spray ``big`` across the salt space so the
+    shuffle key becomes (key, salt) and a head entity spans ``salt``
+    reducers instead of one."""
     salted_small = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
     salted_big = big.withColumn(
         "_salt",
         F.pmod(F.xxhash64(F.monotonically_increasing_id()),
                F.lit(salt)).cast("int"))
-    return salted_big.join(salted_small, [key, "_salt"]).drop("_salt")
+    joined = salted_big.join(salted_small, [key, "_salt"])
+    return joined if keep_salt else joined.drop("_salt")
 
 
 def canonicalize(mentions: DataFrame, num_hashes: int = 16,

@@ -143,3 +143,30 @@ def test_canonicalize_merges_alias_surface_forms(spark):
     assert node[0].mention_count == 10
     e = edges.collect()
     assert len(e) == 1 and e[0].weight == 10
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """A head entity (90% of mentions) must not land on one reducer:
+    the salted join spreads the hot key across the salt space."""
+    rows = [("d%d" % i, 0, "Barack Obama", "visited", "Oslo", 0.9)
+            for i in range(450)]
+    rows += [("e%d" % i, 0, f"Person {i}", "visited", "Oslo", 0.9)
+             for i in range(50)]
+    mentions = spark.createDataFrame(
+        rows, "doc_id string, span_idx int, arg1_text string, "
+              "rel_text string, arg2_text string, conf double")
+    m = (mentions
+         .withColumn("_a1", normalize_entity(F.col("arg1_text"))))
+    canon = spark.createDataFrame(
+        [("barack obama", "n0")]
+        + [(f"person {i}", f"n{i+1}") for i in range(50)],
+        "norm string, node_id string") \
+        .withColumnRenamed("norm", "_a1")
+    joined = salted_join(m, canon, "_a1", salt=8, keep_salt=True)
+    assert joined.count() == 500
+    # the shuffle key is (entity, salt): the hot entity must occupy
+    # multiple salt buckets (AQE coalesces toy data into one physical
+    # partition, so the salt distribution is the observable mechanism)
+    salts = (joined.where(F.col("node_id") == "n0")
+             .select("_salt").distinct().count())
+    assert salts >= 4, f"hot key spread over only {salts} salt buckets"
