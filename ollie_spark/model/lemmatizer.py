@@ -54,6 +54,33 @@ IRREGULAR = {
     "elected": "elect", "located": "locate", "situated": "situate",
     "published": "publish", "composed": "compose", "comprised": "comprise",
     "bordered": "border", "scheduled": "schedule",
+    # common -ed/-ing forms the suffix heuristics get wrong
+    # (vowel-pair stems take no silent e; unstressed final syllables)
+    "looked": "look", "looking": "look", "seemed": "seem",
+    "appeared": "appear", "appearing": "appear", "rained": "rain",
+    "cleaned": "clean", "joined": "join", "trained": "train",
+    "remained": "remain", "gained": "gain", "maintained": "maintain",
+    "obtained": "obtain", "explained": "explain", "claimed": "claim",
+    "visited": "visit", "visiting": "visit", "opened": "open",
+    "opening": "open", "offered": "offer", "entered": "enter",
+    "listened": "listen", "ordered": "order", "answered": "answer",
+    "covered": "cover", "delivered": "deliver",
+    "considered": "consider", "remembered": "remember",
+    "gathered": "gather", "happened": "happen", "returned": "return",
+    "waited": "wait", "treated": "treat", "repeated": "repeat",
+    "defeated": "defeat", "created": "create", "edited": "edit",
+    "limited": "limit", "developed": "develop", "signed": "sign",
+    "designed": "design", "reached": "reach", "appointed": "appoint",
+    "pointed": "point", "printed": "print", "counted": "count",
+    "painted": "paint", "learned": "learn", "earned": "earn",
+    "retained": "retain", "contained": "contain", "looted": "loot",
+    "headed": "head", "needed": "need", "loaded": "load",
+    "recorded": "record", "rewarded": "reward", "avoided": "avoid",
+    "attended": "attend", "depended": "depend", "extended": "extend",
+    "defended": "defend", "intended": "intend", "sounded": "sound",
+    "surrounded": "surround", "demanded": "demand",
+    "commanded": "command", "expanded": "expand", "landed": "land",
+    "ended": "end", "handed": "hand", "funded": "fund",
     # irregular noun plurals
     "men": "man", "women": "woman", "children": "child", "people": "person",
     "feet": "foot", "teeth": "tooth", "geese": "goose", "mice": "mouse",
