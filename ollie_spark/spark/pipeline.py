@@ -102,52 +102,65 @@ def extract_mentions(sents: DataFrame) -> DataFrame:
     at a time.  Errors are shielded per row into an ``error`` column
     (reference --ignore-errors, OpenParse.scala:376-379)."""
 
+    col_names = [f.name for f in MENTIONS_SCHEMA.fields]
+
     def run(batches):
         import pandas as pd
         from .synth import parse_text
 
         ollie = _get_ollie()
         for pdf in batches:
-            rows = []
+            # columnar accumulation: list-of-dicts -> DataFrame is the
+            # expensive path at hundreds of thousands of rows
+            cols = {n: [] for n in col_names}
+
+            def emit(doc_id, span_idx, r=None, error=None):
+                cols["doc_id"].append(doc_id)
+                cols["span_idx"].append(int(span_idx))
+                cols["sent_idx"].append(0)
+                if error is not None:
+                    for n in ("arg1_text", "rel_text", "arg2_text",
+                              "arg1_span", "rel_span", "arg2_span",
+                              "enabler", "attribution", "pattern",
+                              "openparse_conf", "features"):
+                        cols[n].append(None)
+                    cols["error"].append(error)
+                    return
+                cols["arg1_text"].append(r.arg1_text)
+                cols["rel_text"].append(r.rel_text)
+                cols["arg2_text"].append(r.arg2_text)
+                cols["arg1_span"].append(_sp(r.arg1_span))
+                cols["rel_span"].append(_sp(r.rel_span))
+                cols["arg2_span"].append(_sp(r.arg2_span))
+                cols["enabler"].append(
+                    None if r.enabler is None else {
+                        "prefix": r.enabler.prefix,
+                        "phrase": r.enabler.phrase,
+                        "span": _sp(r.enabler.span)})
+                cols["attribution"].append(
+                    None if r.attribution is None else {
+                        "arg": r.attribution.arg,
+                        "arg_span": _sp(r.attribution.arg_span),
+                        "rel": r.attribution.rel,
+                        "rel_span": _sp(r.attribution.rel_span)})
+                cols["pattern"].append(r.pattern)
+                cols["openparse_conf"].append(float(r.openparse_conf))
+                cols["features"].append(list(r.features))
+                cols["error"].append(None)
+
             for doc_id, span_idx, text in zip(
                     pdf["doc_id"], pdf["span_idx"], pdf["text"]):
                 try:
                     graph = parse_text(text)
                     if graph is None:
-                        rows.append(_error_row(doc_id, span_idx,
-                                               "unparseable"))
+                        emit(doc_id, span_idx, error="unparseable")
                         continue
                     for r in ollie.extract(graph):
-                        rows.append({
-                            "doc_id": doc_id,
-                            "span_idx": int(span_idx),
-                            "sent_idx": 0,
-                            "arg1_text": r.arg1_text,
-                            "rel_text": r.rel_text,
-                            "arg2_text": r.arg2_text,
-                            "arg1_span": _sp(r.arg1_span),
-                            "rel_span": _sp(r.rel_span),
-                            "arg2_span": _sp(r.arg2_span),
-                            "enabler": None if r.enabler is None else {
-                                "prefix": r.enabler.prefix,
-                                "phrase": r.enabler.phrase,
-                                "span": _sp(r.enabler.span)},
-                            "attribution":
-                                None if r.attribution is None else {
-                                    "arg": r.attribution.arg,
-                                    "arg_span": _sp(r.attribution.arg_span),
-                                    "rel": r.attribution.rel,
-                                    "rel_span": _sp(r.attribution.rel_span)},
-                            "pattern": r.pattern,
-                            "openparse_conf": float(r.openparse_conf),
-                            "features": list(r.features),
-                            "error": None,
-                        })
+                        emit(doc_id, span_idx, r)
                 except Exception as e:  # noqa: BLE001 — error shielding
-                    rows.append(_error_row(doc_id, span_idx,
-                                           f"{type(e).__name__}: {e}"))
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in MENTIONS_SCHEMA.fields])
+                    emit(doc_id, span_idx,
+                         error=f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(cols, columns=col_names)
 
     return sents.mapInPandas(run, schema=MENTIONS_SCHEMA)
 
