@@ -38,6 +38,7 @@ HEADLINE = [
     "q16_token_count",          # token stats
     "q18_ann_cosine_topk",      # brute-force ANN
     "q19_ivf_bucketed_ann",     # bucketed ANN
+    "q21_embedding_neardup",    # cell-blocked cosine near-dup pairs
 ]
 
 # how many synthetic interleaved docs to extract from, per lineitem row

@@ -73,11 +73,23 @@ def run(cores: int, n_docs: int, pyfiles: Path, link: bool) -> dict:
 
 
 def measure_pair(base: int, n_docs: int, pyfiles: Path,
-                 link: bool) -> tuple[dict, dict, float]:
+                 link: bool, rounds: int = 3) -> tuple[dict, dict, float]:
+    """Paired rounds, median efficiency.
+
+    Each round runs the N and 4N legs back-to-back so they share
+    machine state; the per-round ratio is far stabler than ratios of
+    independently-sampled legs (a lucky run on one leg would otherwise
+    swing the quotient ±0.1 around the gate)."""
     lo, hi = base, base * 4
-    r_lo = run(lo, n_docs, pyfiles, link)
-    r_hi = run(hi, n_docs, pyfiles, link)
-    eff = r_hi["docs_per_sec"] / (4.0 * r_lo["docs_per_sec"])
+    outcomes = []
+    for _ in range(rounds):
+        r_lo = run(lo, n_docs, pyfiles, link)
+        r_hi = run(hi, n_docs, pyfiles, link)
+        outcomes.append(
+            (r_hi["docs_per_sec"] / (4.0 * r_lo["docs_per_sec"]),
+             r_lo, r_hi))
+    outcomes.sort(key=lambda t: t[0])
+    eff, r_lo, r_hi = outcomes[len(outcomes) // 2]
     return r_lo, r_hi, eff
 
 
