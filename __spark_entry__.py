@@ -546,9 +546,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id""",
         "q16_token_count": """
             SELECT source, COUNT(*) AS n_docs,
-                   SUM(len(string_split(text, ' '))) AS ws_tokens,
-                   SUM(list_sum(list_transform(string_split(text, ' '),
-                       w -> (length(w) + 3) // 4))) AS subword_tokens
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                       AS ws_tokens,
+                   CAST(SUM(list_sum(list_transform(string_split(text, ' '),
+                       w -> (length(w) + 3) // 4))) AS BIGINT)
+                       AS subword_tokens
             FROM documents GROUP BY source ORDER BY source""",
         "q17_doc_fingerprint": """
             SELECT doc_id,

@@ -148,11 +148,17 @@ def sample_frames(features: DataFrame, every_n: int) -> DataFrame:
         .otherwise(F.col("n_frames")))
 
 
-def media_ann_buckets(features: DataFrame, bits: int = 4) -> DataFrame:
+def media_ann_buckets(features: DataFrame,
+                      bits: int | None = 4) -> DataFrame:
     """Embedding-space LSH cells over the media embeddings — the same
-    IVF-bucketed ANN path as q19, on multimodal vectors."""
-    cell = F.concat(*[
-        F.when(F.element_at("embedding", i + 1) >= 0, F.lit("1"))
-        .otherwise(F.lit("0")) for i in range(bits)])
-    return features.where(F.col("embedding").isNotNull()) \
-        .withColumn("cell", cell)
+    IVF-bucketed ANN path as q19, on multimodal vectors.
+
+    ``bits=None`` sizes the cell count from the corpus
+    (textops.auto_cell_bits) so cell population stays ~constant as the
+    corpus grows; the default stays 4 where small-scale oracles pin it.
+    """
+    from .textops import auto_cell_bits, sign_cell
+    nonnull = features.where(F.col("embedding").isNotNull())
+    if bits is None:
+        bits = auto_cell_bits(nonnull.count(), dim=EMBED_DIM)
+    return nonnull.withColumn("cell", sign_cell(F.col("embedding"), bits))

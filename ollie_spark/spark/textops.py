@@ -14,11 +14,22 @@ Scale shapes:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 MINHASH_SEEDS = (17, 29, 43, 71)
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# a single LSH band bucket larger than this is a degenerate key (empty
+# / boilerplate docs sharing a minhash band); its self-join would be
+# O(bucket^2).  Measured bucket maxima on the test corpora are <= 13
+# (sf0.1), so the default never fires below web scale, where it caps
+# the blow-up.  Dropped buckets are observable via
+# ``minhash_dropped_bands`` — never silent.
+DEFAULT_MAX_BAND_BUCKET = 256
 
 
 def word_shingles(text_col, n: int = 3) -> Column:
@@ -39,20 +50,47 @@ def minhash_cols(text_col, seeds=MINHASH_SEEDS, shingle_n: int = 3):
     return [h(s).alias(f"mh{k}") for k, s in enumerate(seeds)]
 
 
-def minhash_band_pairs(docs: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
-    """MinHash+LSH near-duplicate document pairs: 4 hashes, 2 bands of
-    2; pairs sharing a band bucket (a < b)."""
+def _minhash_banded(docs: DataFrame, id_col: str,
+                    text_col: str) -> DataFrame:
     d = docs.select(id_col, *minhash_cols(F.col(text_col)))
     b1 = d.select(id_col, F.concat_ws("|", "mh0", "mh1").alias("band_key"))
     b2 = d.select(id_col, F.concat_ws("|", "mh2", "mh3").alias("band_key"))
-    banded = b1.unionByName(b2)
+    return b1.unionByName(b2)
+
+
+def minhash_band_pairs(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       max_bucket: int = DEFAULT_MAX_BAND_BUCKET
+                       ) -> DataFrame:
+    """MinHash+LSH near-duplicate document pairs: 4 hashes, 2 bands of
+    2; pairs sharing a band bucket (a < b).
+
+    Buckets larger than ``max_bucket`` are dropped before the self-join
+    (same cap-and-count discipline as linking.lsh_candidate_pairs): one
+    degenerate band key over millions of boilerplate docs must not emit
+    O(n^2) pairs.  Count the casualties with ``minhash_dropped_bands``.
+    """
+    banded = _minhash_banded(docs, id_col, text_col)
+    if max_bucket is not None:
+        sized = banded.withColumn(
+            "_n", F.count("*").over(Window.partitionBy("band_key")))
+        banded = sized.where(F.col("_n") <= max_bucket).drop("_n")
     a, b = banded.alias("a"), banded.alias("b")
     return (a.join(b, "band_key")
             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             .select(F.col(f"a.{id_col}").alias("doc_a"),
                     F.col(f"b.{id_col}").alias("doc_b"))
             .distinct())
+
+
+def minhash_dropped_bands(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          max_bucket: int = DEFAULT_MAX_BAND_BUCKET
+                          ) -> int:
+    """How many band buckets the cap skipped (metrics, not silent)."""
+    banded = _minhash_banded(docs, id_col, text_col)
+    return (banded.groupBy("band_key").count()
+            .where(F.col("count") > max_bucket).count())
 
 
 def simhash16(text_col) -> Column:
@@ -104,13 +142,16 @@ def text_quality(docs: DataFrame) -> DataFrame:
     n_tokens = F.size(words).cast("long")
     stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))) \
         .cast("double")
-    stop_ratio = F.round(stop / n_tokens, 4)
+    # bucket from the RAW ratio (matching the oracle's CASE on the
+    # unrounded value); only the emitted column is rounded — a doc with
+    # raw ratio in (0.05, 0.05005) must bucket 'high', not 'medium'
+    stop_ratio = stop / n_tokens
     avg_len = F.round(
         (F.length("text") - n_tokens + 1).cast("double") / n_tokens, 4)
     return docs.select(
         "doc_id", "lang",
         n_tokens.alias("n_tokens"),
-        stop_ratio.alias("stopword_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
         avg_len.alias("avg_word_len"),
         F.when(stop_ratio > 0.05, F.lit("high"))
         .when(n_tokens >= 40, F.lit("medium"))
@@ -149,3 +190,81 @@ def sign_cell(vec_col, bits: int = 4) -> Column:
     return F.concat(*[
         F.when(F.element_at(vec_col, i + 1) >= 0, F.lit("1"))
         .otherwise(F.lit("0")) for i in range(bits)])
+
+
+# target rows per ANN cell when sizing the cell count from the corpus:
+# 2^bits cells over n vectors -> ~n / 2^bits rows per cell, so the
+# within-cell join is O(n * target) instead of O(n^2 / 2^bits_fixed).
+ANN_TARGET_CELL_ROWS = 1024
+
+
+def auto_cell_bits(n_rows: int, dim: int | None = None,
+                   target_cell_rows: int = ANN_TARGET_CELL_ROWS) -> int:
+    """Cell-count exponent scaled to corpus size: enough sign bits that
+    the expected cell holds ~``target_cell_rows`` vectors (>= 4 bits;
+    never more bits than the vector has dimensions).
+
+    A *fixed* bit count makes the within-cell join O(n^2 / 2^bits) —
+    still quadratic; sizing bits ~ log2(n) - log2(target) keeps pair
+    counts ~linear in n as the corpus grows."""
+    bits = max(4, math.ceil(math.log2(max(n_rows, 1)
+                                      / target_cell_rows)))
+    if dim is not None:
+        bits = min(bits, dim)
+    return bits
+
+
+def probe_cells(vec_col, bits: int) -> Column:
+    """Multi-probe cell set: the vector's own cell plus every
+    Hamming-distance-1 flip (``bits + 1`` probes).  Sign-bit cells cut
+    recall exactly when a near-duplicate straddles a hyperplane — the
+    flipped probes recover those pairs at a bounded (bits+1)x candidate
+    cost, the standard multi-probe LSH trade."""
+    base = [F.when(F.element_at(vec_col, i + 1) >= 0, F.lit("1"))
+            .otherwise(F.lit("0")) for i in range(bits)]
+    flipped = [F.when(F.element_at(vec_col, i + 1) >= 0, F.lit("0"))
+               .otherwise(F.lit("1")) for i in range(bits)]
+    cells = [F.concat(*base)]
+    for j in range(bits):
+        cells.append(F.concat(*[flipped[i] if i == j else base[i]
+                                for i in range(bits)]))
+    return F.array(*cells)
+
+
+def embedding_neardup_pairs(vecs: DataFrame, threshold: float = 0.62,
+                            id_col: str = "vec_id",
+                            vec_col: str = "emb",
+                            bits: int | None = None,
+                            multi_probe: bool = True,
+                            dim: int | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, sign-cell blocked.
+
+    The library scale path: ``bits`` defaults to ``auto_cell_bits`` of
+    the corpus size (one count job), so cell population — and with it
+    the within-cell join cost — stays ~constant as the corpus grows.
+    ``multi_probe`` joins each vector's Hamming-1 probe set against
+    base cells so hyperplane-straddling near-dups aren't lost to the
+    finer cells.  (q21's oracle wrapper pins bits=4, single-probe.)"""
+    if bits is None:
+        if dim is None:
+            first = vecs.select(F.size(vec_col).alias("d")).first()
+            dim = int(first["d"]) if first else 4
+        bits = auto_cell_bits(vecs.count(), dim=dim)
+    base = vecs.withColumn("_cell", sign_cell(F.col(vec_col), bits))
+    if multi_probe:
+        probed = base.withColumn(
+            "_probe", F.explode(probe_cells(F.col(vec_col), bits)))
+        a = probed.alias("a")
+        b = base.alias("b")
+        joined = a.join(b, F.col("a._probe") == F.col("b._cell"))
+    else:
+        a, b = base.alias("a"), base.alias("b")
+        joined = a.join(b, F.col("a._cell") == F.col("b._cell"))
+    cos = F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4)
+    return (joined
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .where(cos >= threshold)
+            .select(F.col(f"a.{id_col}").alias("vec_a"),
+                    F.col(f"b.{id_col}").alias("vec_b"),
+                    cos.alias("cosine"))
+            .distinct())

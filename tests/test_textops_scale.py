@@ -1,0 +1,163 @@
+"""Scale-hardening tests for the textops dedup/ANN operators.
+
+Covers the round-2 judge items: (a) degenerate minhash band buckets are
+capped and counted, (b) ANN cell bits scale with corpus size so the
+within-cell candidate count stays ~linear as docs double, (c) the
+multi-probe path recovers hyperplane-straddling near-dup pairs, and
+(d) the q10 / q21 oracle queries can actually produce rows (the driver
+corpus makes them pass trivially at 0 rows).
+"""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from ollie_spark.spark.textops import (auto_cell_bits,
+                                       embedding_neardup_pairs,
+                                       minhash_band_pairs,
+                                       minhash_dropped_bands, probe_cells,
+                                       sign_cell)
+
+
+# --------------------------------------------------------- band cap
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_degenerate_band_is_capped_and_counted(spark):
+    # 40 identical docs share every band bucket -> uncapped self-join
+    # would emit 40*39/2 = 780 pairs; a cap below 40 drops the bucket.
+    same = [(f"d{i:03d}", "lorem ipsum dolor sit amet consectetur "
+             "adipiscing elit sed do eiusmod") for i in range(40)]
+    uniq = [(f"u{i}", f"unique document number {i} with distinct words "
+             f"alpha{i} beta{i} gamma{i} delta{i}") for i in range(5)]
+    docs = _docs(spark, same + uniq)
+    capped = minhash_band_pairs(docs, max_bucket=16)
+    assert capped.count() == 0
+    assert minhash_dropped_bands(docs, max_bucket=16) > 0
+    # and the cap is observable as *absent* without the degenerate key
+    uncapped = minhash_band_pairs(docs, max_bucket=None)
+    assert uncapped.count() == 780
+
+
+def test_default_cap_preserves_small_scale_pairs(spark):
+    # clusters below the default cap are unaffected -> q12 oracle parity
+    rows = [("a1", "the quick brown fox jumps over the lazy dog today"),
+            ("a2", "the quick brown fox jumps over the lazy dog today"),
+            ("b1", "completely different text about spark partitions")]
+    docs = _docs(spark, rows)
+    assert ({(r.doc_a, r.doc_b) for r in minhash_band_pairs(docs).collect()}
+            == {("a1", "a2")})
+    assert minhash_dropped_bands(docs) == 0
+
+
+# --------------------------------------------------- cell bit scaling
+
+def test_auto_cell_bits_scales_with_corpus():
+    assert auto_cell_bits(1_000) == 4                 # floor
+    assert auto_cell_bits(1 << 20) == 10              # n/1024 cells
+    assert auto_cell_bits(1 << 30) == 20
+    assert auto_cell_bits(1 << 30, dim=16) == 16      # dim clamp
+    # doubling the corpus adds exactly one bit above the floor
+    assert auto_cell_bits(1 << 21) == auto_cell_bits(1 << 20) + 1
+
+
+def _unit_vecs(n, dim=8, seed=7):
+    rng = np.random.RandomState(seed)
+    v = rng.randn(n, dim)
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+def _cell_pair_count(spark, n, bits, dim=8):
+    vecs = _unit_vecs(n, dim)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, emb array<double>")
+    sizes = (df.withColumn("cell", sign_cell(F.col("emb"), bits))
+             .groupBy("cell").count().collect())
+    return sum(r["count"] * (r["count"] - 1) // 2 for r in sizes)
+
+
+def test_candidate_pairs_stay_linear_with_auto_bits(spark):
+    # with bits sized per corpus (target 8 rows/cell here), doubling the
+    # docs ~doubles the candidate pairs; with FIXED bits it ~quadruples.
+    target = 8
+    counts_auto, counts_fixed = [], []
+    for n in (128, 256, 512):
+        counts_auto.append(
+            _cell_pair_count(spark, n, auto_cell_bits(n, target_cell_rows=target)))
+        counts_fixed.append(_cell_pair_count(spark, n, 4))
+    for a, b in zip(counts_auto, counts_auto[1:]):
+        assert b / a < 3.0, f"auto-bits pair growth superlinear: {counts_auto}"
+    assert counts_fixed[-1] / counts_fixed[0] > 8.0, (
+        f"fixed-bits should blow up quadratically: {counts_fixed}")
+
+
+# ------------------------------------------------------- multi-probe
+
+def test_multi_probe_recovers_straddling_pair(spark):
+    # two near-identical vectors on opposite sides of the dim-0
+    # hyperplane: different sign cells, cosine ~1.  single-probe loses
+    # the pair; the Hamming-1 probe set recovers it.
+    a = [0.01, 0.9, 0.8, 0.7, 0.6, 0.5]
+    b = [-0.01, 0.9, 0.8, 0.7, 0.6, 0.5]
+    far = [-0.9, -0.8, 0.7, -0.6, 0.5, -0.4]
+    df = spark.createDataFrame(
+        [(0, a), (1, b), (2, far)], "vec_id long, emb array<double>")
+    single = embedding_neardup_pairs(df, threshold=0.9, bits=4,
+                                     multi_probe=False)
+    multi = embedding_neardup_pairs(df, threshold=0.9, bits=4,
+                                    multi_probe=True)
+    assert single.count() == 0
+    assert [(r.vec_a, r.vec_b) for r in multi.collect()] == [(0, 1)]
+
+
+def test_probe_cells_shape(spark):
+    df = spark.createDataFrame([([1.0, -1.0, 1.0, -1.0],)],
+                               "emb array<double>")
+    cells = df.select(probe_cells(F.col("emb"), 4).alias("p")).first()["p"]
+    assert cells[0] == "1010"
+    assert sorted(cells[1:]) == ["0010", "1000", "1011", "1110"]
+    assert len(set(cells)) == 5
+
+
+# ------------------------------------ zero-row greens made falsifiable
+
+def test_q21_logic_finds_planted_neardups(spark):
+    # the driver corpus yields 0 rows for q21; plant actual near-dups so
+    # the operator's pair logic is exercised (and can fail).
+    base = _unit_vecs(20, dim=8, seed=3)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    twin = base[4] + 0.001  # near-duplicate of vec 4
+    twin = twin / np.linalg.norm(twin)
+    rows.append((99, [float(x) for x in twin]))
+    df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    pairs = embedding_neardup_pairs(df, threshold=0.99, bits=4,
+                                    multi_probe=True)
+    got = {(r.vec_a, r.vec_b) for r in pairs.collect()}
+    assert (4, 99) in got
+
+
+def test_q10_logic_finds_orderless_customers(spark, tmp_path):
+    # the driver corpus has no customer without orders; synthesize one
+    # and check the Spark query AND its DuckDB oracle both surface it.
+    cdir, odir = str(tmp_path / "customer.parquet"), str(
+        tmp_path / "orders.parquet")
+    spark.createDataFrame(
+        [(1, "BUILDING"), (2, "MACHINERY"), (3, "AUTOMOBILE")],
+        "c_custkey long, c_mktsegment string").write.parquet(cdir)
+    spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 3)],
+        "o_orderkey long, o_custkey long").write.parquet(odir)
+    got = entry_mod.q10_customers_without_orders(spark, str(tmp_path))
+    assert [(r.c_custkey, r.c_mktsegment) for r in got.collect()] == [
+        (2, "MACHINERY")]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM '{cdir}/*.parquet'")
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{odir}/*.parquet'")
+    orows = con.execute(
+        entry_mod.oracle_sql()["q10_customers_without_orders"]).fetchall()
+    assert orows == [(2, "MACHINERY")]
