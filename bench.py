@@ -86,9 +86,15 @@ def main():
     # linking + canonicalization over the extracted mentions
     from ollie_spark.spark.linking import canonicalize
     t0 = time.monotonic()
-    _, nodes, edges = canonicalize(mentions)
+    link_split = {}
+    _, nodes, edges = canonicalize(mentions, metrics_out=link_split)
     n_nodes, n_edges = nodes.count(), edges.count()
     timings["kg_link"] = round(time.monotonic() - t0, 3)
+    timings["kg_link_lsh_cc"] = link_split.get("lsh_cc_sec", 0.0)
+    timings["kg_link_map"] = link_split.get("canon_map_sec", 0.0)
+    timings["kg_link_join"] = round(
+        timings["kg_link"] - timings["kg_link_lsh_cc"]
+        - timings["kg_link_map"], 3)
 
     total = round(time.monotonic() - t_total0, 3)
     out = {

@@ -14,9 +14,11 @@ Scale notes (100 TB / 10^12 docs):
 - LSH banding self-joins on the band key only; hot buckets are capped
   (and counted via `dropped_buckets`) so one degenerate band cannot
   produce O(n^2) pairs.
-- Connected components is min-label propagation: O(log n) join+agg
-  rounds over the candidate-pair edge set, which is tiny relative to
-  the corpus (near-dup blocks are shallow star-like clusters).
+- Connected components defaults to min-label propagation — O(graph
+  diameter) join+agg rounds, tiny for shallow star-like near-dup
+  blocks, with a loud warning if max_iter exhausts — and offers the
+  large-star/small-star algorithm (O(log n) rounds independent of
+  diameter) for adversarially chain-shaped graphs.
 - The final mentions->canonical join salts the canonical map S ways and
   hashes mentions into the same salt space: mention skew spreads over S
   reducers while the map side only replicates S×.  AQE skew-join stays
@@ -147,18 +149,32 @@ def dropped_buckets(entities: DataFrame, num_hashes: int = 16,
 
 def connected_components(pairs: DataFrame, vertices: DataFrame,
                          max_iter: int = 15,
-                         local_threshold: int = 1_000_000) -> DataFrame:
-    """Min-label propagation: (norm, component) for every vertex.
+                         local_threshold: int = 1_000_000,
+                         algorithm: str = "min_label") -> DataFrame:
+    """Distributed connected components: (norm, component) per vertex.
 
     Only vertices that occur in ``pairs`` enter the iteration — at web
     scale almost all entities are isolated (component = self) and must
-    not be dragged through O(log n) join rounds.
+    not be dragged through the join rounds.
 
     When the candidate-pair set is small (<= local_threshold, counted),
     components resolve with a driver-side union-find and broadcast back
     — the same small-side escape hatch as a broadcast join; the
     distributed loop remains the path for genuinely large near-dup
-    graphs."""
+    graphs.
+
+    ``algorithm``:
+    - ``min_label`` (default): label propagation — O(graph diameter)
+      rounds.  Near-dup blocks are shallow star-like clusters, so the
+      diameter is tiny in practice; if the loop exhausts ``max_iter``
+      while labels are still changing it emits a warning (components
+      may be split) rather than failing silently.
+    - ``star``: alternating large-star/small-star (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond") — O(log n) rounds
+      regardless of diameter, for adversarially chain-shaped graphs."""
+    if algorithm not in ("min_label", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}; "
+                         f"expected 'min_label' or 'star'")
     sym = (pairs.select(F.col("norm_a").alias("src"),
                         F.col("norm_b").alias("dst"))
            .unionByName(pairs.select(F.col("norm_b").alias("src"),
@@ -192,8 +208,12 @@ def connected_components(pairs: DataFrame, vertices: DataFrame,
         local = spark.createDataFrame(rows, "norm string, component string")
         return local.unionByName(isolated)
 
+    if algorithm == "star":
+        return _star_components(sym, max_iter).unionByName(isolated)
+
     labels = connected_verts.select(
         "norm", F.col("norm").alias("component"))
+    changed = 0
     for _ in range(max_iter):
         nbr = (sym.join(labels, sym.dst == labels.norm)
                .groupBy("src").agg(F.min("component").alias("nbr_min")))
@@ -210,48 +230,146 @@ def connected_components(pairs: DataFrame, vertices: DataFrame,
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        import warnings
+        warnings.warn(
+            f"connected_components: min-label loop exhausted "
+            f"max_iter={max_iter} with labels still changing — "
+            f"components may be split (graph diameter > max_iter); "
+            f"raise max_iter or use algorithm='star'",
+            RuntimeWarning, stacklevel=2)
     return labels.unionByName(isolated)
 
 
+def _star_components(sym: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Alternating large-star / small-star rounds over a *symmetric*
+    edge set -> (norm, component) for every vertex in it.
+
+    Per round (Kiveris et al. 2014): large-star hangs every neighbor
+    v > u under min(N(u) ∪ {u}); small-star rewires the v <= u
+    neighborhood the same way.  Converges in O(log n) rounds to a
+    forest of depth-1 stars rooted at each component's minimum label,
+    independent of graph diameter."""
+    verts = sym.select(F.col("src").alias("norm")).distinct() \
+        .localCheckpoint(eager=True)
+    # work on undirected unique edges (u > v canonical direction)
+    edges = (sym.where(F.col("src") > F.col("dst"))
+             .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+             .distinct().localCheckpoint(eager=True))
+
+    def _sym(e):
+        return e.unionByName(e.select(F.col("v").alias("u"),
+                                      F.col("u").alias("v")))
+
+    for _ in range(max_iter):
+        # large-star: m = min over N(u) ∪ {u}; attach v > u to m
+        s = _sym(edges)
+        m = s.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m"))
+        big = (s.join(m, "u")
+               .where(F.col("v") > F.col("u"))
+               .select(F.col("v").alias("u"), F.col("m").alias("v"))
+               .where(F.col("u") != F.col("v"))
+               .distinct())
+        # small-star over the attach edges: m = min over {u} ∪ {v<=u}
+        le = big.where(F.col("v") <= F.col("u"))
+        m2 = le.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m"))
+        small = (le.join(m2, "u")
+                 .select(F.col("v").alias("a"), F.col("m").alias("b"))
+                 .unionByName(m2.select(F.col("u").alias("a"),
+                                        F.col("m").alias("b")))
+                 .where(F.col("a") != F.col("b"))
+                 .select(F.greatest("a", "b").alias("u"),
+                         F.least("a", "b").alias("v"))
+                 .distinct()
+                 .localCheckpoint(eager=True))
+        stable = (small.exceptAll(edges).limit(1).count() == 0
+                  and edges.exceptAll(small).limit(1).count() == 0)
+        edges = small
+        if stable:
+            break
+    # at convergence every non-root hangs directly off its component
+    # min; roots are vertices that never appear as a 'u'
+    labels = edges.select(F.col("u").alias("norm"),
+                          F.col("v").alias("component"))
+    roots = verts.join(labels.select("norm"), "norm", "left_anti") \
+        .select("norm", F.col("norm").alias("component"))
+    return labels.unionByName(roots)
+
+
 def salted_join(big: DataFrame, small: DataFrame, key: str,
-                salt: int = 8, keep_salt: bool = False) -> DataFrame:
+                salt: int = 8, keep_salt: bool = False,
+                salt_cols=None) -> DataFrame:
     """Equi-join where ``big`` is heavily skewed on ``key``: replicate
     ``small`` ``salt`` ways, spray ``big`` across the salt space so the
     shuffle key becomes (key, salt) and a head entity spans ``salt``
-    reducers instead of one."""
+    reducers instead of one.
+
+    The salt is a hash of ``salt_cols`` (default: every ``big`` column),
+    so it is stable across task retries — a retried stage re-salts each
+    row identically, keeping output partitioning deterministic.  Pass
+    the row-identity columns (e.g. ``("doc_id", "span_idx")``) when
+    ``big`` is wide."""
+    cols = list(salt_cols) if salt_cols is not None else big.columns
     salted_small = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
     salted_big = big.withColumn(
         "_salt",
-        F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+        F.pmod(F.xxhash64(*[F.col(c) for c in cols]),
                F.lit(salt)).cast("int"))
     joined = salted_big.join(salted_small, [key, "_salt"])
     return joined if keep_salt else joined.drop("_salt")
 
 
 def canonicalize(mentions: DataFrame, num_hashes: int = 16,
-                 bands: int = 8, salt: int = 8):
+                 bands: int = 8, salt: int = 8,
+                 broadcast_map_threshold: int = 1_000_000,
+                 metrics_out: dict | None = None):
     """-> (linked_mentions, nodes, edges) DataFrames.
 
     nodes(node_id, canonical, aliases, mention_count)
     edges(src_node, rel, dst_node, weight, conf)
     linked mentions gain arg1_node / arg2_node columns.
+
+    The mentions->canonical join picks its strategy from the map size
+    (counted once off the persisted map):
+    - map <= broadcast_map_threshold distinct entities: broadcast both
+      arg joins — the mention stream never shuffles, and salting is
+      pointless overhead (a broadcast join has no reducer to skew).
+    - bigger: the two arg lookups are FUSED into one salted join — melt
+      (row_key, side, norm) long, join the map once, pivot the two
+      sides back, rejoin on row_key.  One full-row shuffle instead of
+      two, and the skewed lookup shuffles only narrow rows.
+
+    ``metrics_out`` (optional dict) receives the stage wall-time split:
+    ``lsh_cc_sec`` (blocking + connected components, eager) and
+    ``canon_map_sec`` (canonical-map materialize + count).
     """
+    import time as _time
+
     ments = entity_mentions(mentions)
     surface_counts = ments.groupBy("norm", "text").count()
     counts = (surface_counts.groupBy("norm")
               .agg(F.max_by("text", "count").alias("surface"),
                    F.sum("count").alias("n")))
     entities = counts.select("norm")
+    t0 = _time.monotonic()
     pairs = lsh_candidate_pairs(entities, num_hashes=num_hashes,
                                 bands=bands)
     comp = connected_components(pairs, entities)
+    if metrics_out is not None:
+        metrics_out["lsh_cc_sec"] = round(_time.monotonic() - t0, 3)
 
     # the canonical map is per-distinct-entity (small next to mentions)
     # and feeds three downstream consumers — persist once
+    t0 = _time.monotonic()
     canon = (counts.join(comp, "norm")
              .withColumn("node_id", F.col("component"))
              .persist())
+    n_map = canon.count()
+    if metrics_out is not None:
+        metrics_out["canon_map_sec"] = round(_time.monotonic() - t0, 3)
 
     nodes = (canon.groupBy("node_id")
              .agg(F.max_by("surface", "n").alias("canonical"),
@@ -263,13 +381,17 @@ def canonicalize(mentions: DataFrame, num_hashes: int = 16,
     m = (mentions
          .withColumn("_a1", normalize_entity(F.col("arg1_text")))
          .withColumn("_a2", normalize_entity(F.col("arg2_text"))))
-    j1 = salted_join(
-        m, norm_to_node.withColumnRenamed("norm", "_a1")
-        .withColumnRenamed("node_id", "arg1_node"), "_a1", salt=salt)
-    j2 = salted_join(
-        j1, norm_to_node.withColumnRenamed("norm", "_a2")
-        .withColumnRenamed("node_id", "arg2_node"), "_a2", salt=salt)
-    linked = j2.drop("_a1", "_a2")
+
+    if n_map <= broadcast_map_threshold:
+        j1 = m.join(F.broadcast(
+            norm_to_node.withColumnRenamed("norm", "_a1")
+            .withColumnRenamed("node_id", "arg1_node")), "_a1")
+        j2 = j1.join(F.broadcast(
+            norm_to_node.withColumnRenamed("norm", "_a2")
+            .withColumnRenamed("node_id", "arg2_node")), "_a2")
+        linked = j2.drop("_a1", "_a2")
+    else:
+        linked = _fused_salted_link(m, norm_to_node, salt=salt)
 
     edges = (linked.groupBy(
         F.col("arg1_node").alias("src_node"),
@@ -278,3 +400,34 @@ def canonicalize(mentions: DataFrame, num_hashes: int = 16,
         .agg(F.count("*").alias("weight"),
              F.max("conf").alias("conf")))
     return linked, nodes, edges
+
+
+def _fused_salted_link(m: DataFrame, norm_to_node: DataFrame,
+                       salt: int = 8) -> DataFrame:
+    """Both arg lookups in ONE salted join: melt (row_key, side, norm)
+    long, join the canonical map once, pivot the sides back, rejoin.
+
+    The row key is a 128-bit column pair (two independent xxhash64
+    seeds over every mention column) — collision odds are negligible
+    even at 10^12 rows, and identical duplicate rows sharing a key
+    still link correctly (they pivot to the same node pair)."""
+    cols = [F.col(c) for c in m.columns]
+    keyed = m.withColumn("_rk1", F.xxhash64(*cols)) \
+             .withColumn("_rk2", F.xxhash64(*cols, F.lit(1)))
+    long = keyed.select(
+        "_rk1", "_rk2",
+        F.explode(F.array(
+            F.struct(F.lit("a1").alias("side"), F.col("_a1").alias("norm")),
+            F.struct(F.lit("a2").alias("side"), F.col("_a2").alias("norm"))
+        )).alias("s")).select("_rk1", "_rk2", "s.side", "s.norm")
+    hit = salted_join(long, norm_to_node, "norm", salt=salt,
+                      salt_cols=("_rk1", "_rk2", "side"))
+    pivoted = (hit.groupBy("_rk1", "_rk2")
+               .agg(F.max(F.when(F.col("side") == "a1",
+                                 F.col("node_id"))).alias("arg1_node"),
+                    F.max(F.when(F.col("side") == "a2",
+                                 F.col("node_id"))).alias("arg2_node"))
+               .where(F.col("arg1_node").isNotNull()
+                      & F.col("arg2_node").isNotNull()))
+    return (keyed.join(pivoted, ["_rk1", "_rk2"])
+            .drop("_rk1", "_rk2", "_a1", "_a2"))

@@ -62,6 +62,69 @@ def test_connected_components(spark):
     assert comp["solo"] == "solo"
 
 
+def test_star_components_agree_with_min_label(spark):
+    """Property: large-star/small-star and min-label produce the same
+    partition into components on random graphs (including a long chain,
+    where min-label needs O(diameter) rounds and star O(log n))."""
+    import random
+    rng = random.Random(1234)
+    for trial in range(4):
+        n = 30
+        names = [f"v{i:02d}" for i in range(n)]
+        edges = {tuple(sorted(rng.sample(names, 2))) for _ in range(25)}
+        if trial == 3:  # adversarial chain: diameter n-1
+            edges = {(names[i], names[i + 1]) for i in range(n - 1)}
+        pairs = spark.createDataFrame(
+            sorted(edges), "norm_a string, norm_b string")
+        verts = spark.createDataFrame([(x,) for x in names], "norm string")
+        # force the distributed paths (local_threshold=0)
+        ml = connected_components(pairs, verts, max_iter=40,
+                                  local_threshold=0,
+                                  algorithm="min_label")
+        st = connected_components(pairs, verts, local_threshold=0,
+                                  algorithm="star")
+        def groups(df):
+            out = {}
+            for r in df.collect():
+                out.setdefault(r.component, set()).add(r.norm)
+            return {frozenset(v) for v in out.values()}
+        assert groups(ml) == groups(st), f"trial {trial}"
+
+
+def test_min_label_warns_on_exhaustion(spark):
+    """A chain longer than max_iter must warn, not silently split."""
+    import warnings
+    names = [f"c{i:02d}" for i in range(12)]
+    pairs = spark.createDataFrame(
+        [(names[i], names[i + 1]) for i in range(11)],
+        "norm_a string, norm_b string")
+    verts = spark.createDataFrame([(x,) for x in names], "norm string")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        connected_components(pairs, verts, max_iter=2, local_threshold=0,
+                             algorithm="min_label").collect()
+    assert any("max_iter" in str(x.message) for x in w)
+
+
+def test_fused_salted_link_matches_broadcast_path(spark):
+    """Above the broadcast threshold the fused melt-join-pivot must
+    produce exactly the same linked rows as the broadcast path."""
+    rows = [(f"d{i}", 0, "Barack Obama", "visited",
+             f"City {i % 7}", 0.9) for i in range(40)]
+    rows.append(("dx", 0, "Barack Obama", "visited", "Oslo", 0.8))
+    mentions = spark.createDataFrame(
+        rows, "doc_id string, span_idx int, arg1_text string, "
+              "rel_text string, arg2_text string, conf double")
+    bc_linked, bc_nodes, bc_edges = canonicalize(
+        mentions, salt=4, broadcast_map_threshold=1_000_000)
+    fu_linked, fu_nodes, fu_edges = canonicalize(
+        mentions, salt=4, broadcast_map_threshold=0)
+    key = ["doc_id", "span_idx", "arg1_node", "arg2_node"]
+    assert (sorted(map(tuple, bc_linked.select(*key).collect()))
+            == sorted(map(tuple, fu_linked.select(*key).collect())))
+    assert bc_edges.count() == fu_edges.count()
+
+
 def test_salted_join_correctness(spark):
     big = spark.createDataFrame(
         [("k1", i) for i in range(50)] + [("k2", i) for i in range(3)],
