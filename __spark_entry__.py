@@ -337,6 +337,35 @@ def kg_media_features(spark, sf_dir):
         "duration_ms", "n_frames", "cell")
 
 
+def kg_serialized_roundtrip(spark, sf_dir):
+    """--serialized ingestion (reference OpenParse.scala:298-307):
+    corpus sentences -> graph pickles -> run_extraction_serialized.
+    Exercises serialize/deserialize round-trip + the pre-parsed
+    pipeline end-to-end (rows-only check; non-SQL-expressible)."""
+    from ollie_spark.spark.corpus import corpus
+    from ollie_spark.spark.pipeline import (run_extraction_serialized,
+                                            sentences)
+    n_docs = min(_t(spark, sf_dir, "documents").count(), 500)
+    sents = sentences(corpus(spark, n_docs, seed=42))
+
+    def ser(batches):
+        from ollie_spark.spark.synth import parse_text
+        for pdf in batches:
+            graphs = []
+            for t in pdf["text"]:
+                g = parse_text(t)
+                graphs.append(g.serialize() if g is not None else None)
+            yield pdf.assign(graph=graphs)[
+                ["doc_id", "span_idx", "graph"]]
+
+    gdf = sents.mapInPandas(
+        ser, "doc_id string, span_idx int, graph string") \
+        .where(F.col("graph").isNotNull())
+    return run_extraction_serialized(gdf).select(
+        "doc_id", "span_idx", "arg1_text", "rel_text", "arg2_text",
+        "conf")
+
+
 def kg_nary(spark, sf_dir):
     from ollie_spark.spark.corpus import corpus
     from ollie_spark.spark.nary import nary_extractions
@@ -374,6 +403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_edges": kg_graph_edges,
         "kg_media_features": kg_media_features,
         "kg_nary": kg_nary,
+        "kg_serialized_roundtrip": kg_serialized_roundtrip,
     }
 
 

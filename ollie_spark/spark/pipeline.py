@@ -97,16 +97,19 @@ def segment_sentences(sents: DataFrame) -> DataFrame:
                     "text string")
 
 
-def extract_mentions(sents: DataFrame) -> DataFrame:
-    """R3-R18 + R20: parse + match + expand + features, one Arrow batch
-    at a time.  Errors are shielded per row into an ``error`` column
-    (reference --ignore-errors, OpenParse.scala:376-379)."""
+def _extraction_stage(rows_df: DataFrame, batch_graphs) -> DataFrame:
+    """Shared mapInPandas extraction runner.
 
+    ``batch_graphs(pdf) -> list[DependencyGraph | None]`` supplies one
+    graph (or None = unparseable) per input row; per-row extraction
+    errors are shielded into the ``error`` column (reference
+    --ignore-errors, OpenParse.scala:376-379).  An incoming
+    ``sent_idx`` column is propagated so sentence provenance survives
+    an upstream segment_sentences stage (default 0 without one)."""
     col_names = [f.name for f in MENTIONS_SCHEMA.fields]
 
     def run(batches):
         import pandas as pd
-        from .synth import parse_text
 
         ollie = _get_ollie()
         for pdf in batches:
@@ -114,10 +117,10 @@ def extract_mentions(sents: DataFrame) -> DataFrame:
             # expensive path at hundreds of thousands of rows
             cols = {n: [] for n in col_names}
 
-            def emit(doc_id, span_idx, r=None, error=None):
+            def emit(doc_id, span_idx, sent_idx, r=None, error=None):
                 cols["doc_id"].append(doc_id)
                 cols["span_idx"].append(int(span_idx))
-                cols["sent_idx"].append(0)
+                cols["sent_idx"].append(int(sent_idx))
                 if error is not None:
                     for n in ("arg1_text", "rel_text", "arg2_text",
                               "arg1_span", "rel_span", "arg2_span",
@@ -148,21 +151,74 @@ def extract_mentions(sents: DataFrame) -> DataFrame:
                 cols["features"].append(list(r.features))
                 cols["error"].append(None)
 
-            for doc_id, span_idx, text in zip(
-                    pdf["doc_id"], pdf["span_idx"], pdf["text"]):
+            sent_idxs = (pdf["sent_idx"] if "sent_idx" in pdf.columns
+                         else [0] * len(pdf))
+            try:
+                graphs = batch_graphs(pdf)
+            except Exception as e:  # noqa: BLE001 — shield whole batch
+                graphs = None
+                batch_err = f"parser batch failure: {type(e).__name__}: {e}"
+            for i, (doc_id, span_idx, sent_idx) in enumerate(
+                    zip(pdf["doc_id"], pdf["span_idx"], sent_idxs)):
+                if graphs is None:
+                    emit(doc_id, span_idx, sent_idx, error=batch_err)
+                    continue
                 try:
-                    graph = parse_text(text)
+                    graph = graphs[i]
                     if graph is None:
-                        emit(doc_id, span_idx, error="unparseable")
+                        emit(doc_id, span_idx, sent_idx,
+                             error="unparseable")
                         continue
                     for r in ollie.extract(graph):
-                        emit(doc_id, span_idx, r)
+                        emit(doc_id, span_idx, sent_idx, r)
                 except Exception as e:  # noqa: BLE001 — error shielding
-                    emit(doc_id, span_idx,
+                    emit(doc_id, span_idx, sent_idx,
                          error=f"{type(e).__name__}: {e}")
             yield pd.DataFrame(cols, columns=col_names)
 
-    return sents.mapInPandas(run, schema=MENTIONS_SCHEMA)
+    return rows_df.mapInPandas(run, schema=MENTIONS_SCHEMA)
+
+
+def extract_mentions(sents: DataFrame, parser=None) -> DataFrame:
+    """R3-R18 + R20: parse + match + expand + features, one Arrow batch
+    at a time.
+
+    ``parser`` is the R3 injection point (the reference's pluggable
+    parser slot, OllieCli.scala:200-209): a picklable callable
+    ``parser(texts: list[str]) -> list[DependencyGraph | None]``
+    invoked once per Arrow batch on the executors.  Default: the
+    synthetic-corpus/fixture parser (synth.parse_text) — no English
+    dependency parser ships in this container, so arbitrary-text
+    parsing arrives by injecting one here (or by feeding pre-parsed
+    graphs to ``extract_serialized``, the reference's --serialized
+    mode, OpenParse.scala:298-307)."""
+    if parser is None:
+        def batch_graphs(pdf):
+            from .synth import parse_text
+            return [parse_text(t) for t in pdf["text"]]
+    else:
+        def batch_graphs(pdf):
+            return parser(list(pdf["text"]))
+    return _extraction_stage(sents, batch_graphs)
+
+
+def extract_serialized(graphs_df: DataFrame,
+                       graph_col: str = "graph") -> DataFrame:
+    """Pre-parsed corpus ingestion (reference --serialized mode,
+    OpenParse.scala:298-307): rows carry a pickled dependency graph
+    (``label(src_tok, dst_tok); ...`` format, graph.py:194) instead of
+    raw text; deserialization errors shield per row exactly like parse
+    errors."""
+    def batch_graphs(pdf):
+        from ..graph import DependencyGraph
+        out = []
+        for p in pdf[graph_col]:
+            try:
+                out.append(DependencyGraph.deserialize(p))
+            except Exception:  # noqa: BLE001 — malformed pickle
+                out.append(None)
+        return out
+    return _extraction_stage(graphs_df, batch_graphs)
 
 
 def _sp(span):
@@ -192,19 +248,43 @@ def score(mentions: DataFrame, intercept: float,
                F.lit(1.0) / (F.lit(1.0) + F.exp(-z))))
 
 
-def run_extraction(documents: DataFrame,
-                   conf_threshold: float = 0.0) -> DataFrame:
-    """documents -> scored mentions (errors filtered out)."""
+def _score_and_filter(mentions: DataFrame,
+                      conf_threshold: float) -> DataFrame:
     from ..model.loader import load_classifier
     from ..extract.features import feature_names
     intercept, weights = load_classifier()
     order = feature_names(weights)
-    scored = score(extract_mentions(sentences(documents)),
-                   intercept, [weights[n] for n in order])
+    scored = score(mentions, intercept, [weights[n] for n in order])
     return (scored
             .where(F.col("error").isNull())
             .where(F.col("conf") >= F.lit(conf_threshold))
             .drop("features", "error"))
+
+
+def run_extraction(documents: DataFrame,
+                   conf_threshold: float = 0.0,
+                   parser=None, segment: bool = False) -> DataFrame:
+    """documents -> scored mentions (errors filtered out).
+
+    ``parser`` plugs a real dependency parser into R3 (see
+    extract_mentions); ``segment=True`` inserts the opt-in R2
+    sentence-segmentation stage (its sent_idx is propagated into the
+    mention rows)."""
+    sents = sentences(documents)
+    if segment:
+        sents = segment_sentences(sents)
+    return _score_and_filter(extract_mentions(sents, parser=parser),
+                             conf_threshold)
+
+
+def run_extraction_serialized(graphs_df: DataFrame,
+                              conf_threshold: float = 0.0,
+                              graph_col: str = "graph") -> DataFrame:
+    """Pre-parsed corpus -> scored mentions: the --serialized pipeline
+    end-to-end (deserialize + extract + score + filter)."""
+    return _score_and_filter(
+        extract_serialized(graphs_df, graph_col=graph_col),
+        conf_threshold)
 
 
 def extraction_errors(documents: DataFrame) -> DataFrame:

@@ -157,3 +157,99 @@ def test_readme_examples_parity(spark):
     assert sas[0].rel_base == "is scheduled"
     assert [(s.prep, s.arg2) for s in sas[0].suffixes] == [
         ("for", "May 25th"), ("to", "May 28th")]
+
+
+# ------------------------------------------------ R3 contract (round 2)
+
+def test_serialized_graph_ingestion(spark):
+    """The --serialized mode: a DataFrame of graph pickles runs the
+    full pipeline without synth.parse_text, reproducing the same
+    mentions as the text path on the same sentences."""
+    from ollie_spark.spark.pipeline import (extract_serialized,
+                                            run_extraction_serialized)
+    from ollie_spark.spark.synth import FIXTURE_PARSES
+
+    items = sorted(FIXTURE_PARSES.items())
+    gdf = spark.createDataFrame(
+        [(f"g-{i}", 0, pickled) for i, (_, pickled) in enumerate(items)],
+        "doc_id string, span_idx int, graph string")
+    got = run_extraction_serialized(gdf)
+    by_text = run_extraction(spark.createDataFrame(
+        [(f"g-{i}", [("text", text, None, 0)])
+         for i, (text, _) in enumerate(items)], schema=docs_schema()))
+    key = lambda r: (r.doc_id, r.arg1_text, r.rel_text, r.arg2_text)  # noqa: E731
+    assert sorted(map(key, got.collect())) == \
+        sorted(map(key, by_text.collect()))
+    # malformed pickles shield per row, not per job
+    bad = spark.createDataFrame(
+        [("b-0", 0, "not a graph pickle ((("),
+         ("b-1", 0, items[0][1])],
+        "doc_id string, span_idx int, graph string")
+    raw = extract_serialized(bad)
+    errs = raw.where(F.col("error").isNotNull()).collect()
+    assert {e.doc_id for e in errs} == {"b-0"}
+    assert raw.where(F.col("error").isNull()).count() > 0
+
+
+def docs_schema():
+    from ollie_spark.spark.corpus import DOCUMENTS_SCHEMA
+    return DOCUMENTS_SCHEMA
+
+
+def test_injected_parser(spark):
+    """R3 injection point: a non-default parser (here: a lookup over
+    one fixture, None otherwise) drives the same pipeline."""
+    from ollie_spark.spark.pipeline import extract_mentions, sentences
+    from ollie_spark.spark.synth import FIXTURE_PARSES
+
+    known = "Juliette has a crush on Romeo ."
+    pickled = FIXTURE_PARSES[known]
+
+    def toy_parser(texts):
+        from ollie_spark.graph import DependencyGraph
+        return [DependencyGraph.deserialize(pickled, text=t)
+                if t == known else None for t in texts]
+
+    docs = spark.createDataFrame(
+        [("p-0", [("text", known, None, 0)]),
+         ("p-1", [("text", "text the toy parser cannot parse", None, 0)])],
+        schema=docs_schema())
+    raw = extract_mentions(sentences(docs), parser=toy_parser)
+    ok = raw.where(F.col("error").isNull()).collect()
+    assert {m.doc_id for m in ok} == {"p-0"}
+    assert any(m.arg1_text == "Juliette" for m in ok)
+    errs = raw.where(F.col("error").isNotNull()).collect()
+    assert [(e.doc_id, e.error) for e in errs] == [("p-1", "unparseable")]
+
+
+def test_parser_batch_failure_shields_batch(spark):
+    """A parser that explodes on the whole batch yields error rows for
+    every row in it instead of failing the job."""
+    from ollie_spark.spark.pipeline import extract_mentions, sentences
+
+    def broken_parser(texts):
+        raise RuntimeError("model file missing")
+
+    docs = spark.createDataFrame(
+        [("x-0", [("text", "Anything at all .", None, 0)])],
+        schema=docs_schema())
+    raw = extract_mentions(sentences(docs), parser=broken_parser)
+    errs = raw.collect()
+    assert len(errs) == 1
+    assert "parser batch failure: RuntimeError" in errs[0].error
+
+
+def test_sent_idx_propagated_through_segmentation(spark):
+    """Composing R2 upstream must keep sentence provenance: mentions
+    from different sentences of one span carry distinct sent_idx."""
+    two = ("OpenParse finds an example extraction . "
+           "Juliette has a crush on Romeo .")
+    docs = spark.createDataFrame(
+        [("s-0", [("text", two, None, 0)])], schema=docs_schema())
+    m = run_extraction(docs, segment=True).collect()
+    by_sent = {}
+    for r in m:
+        by_sent.setdefault(r.sent_idx, set()).add(r.arg1_text)
+    assert set(by_sent) == {0, 1}, by_sent
+    assert "OpenParse" in by_sent[0]
+    assert "Juliette" in by_sent[1]
