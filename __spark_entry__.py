@@ -290,6 +290,21 @@ def q21_embedding_neardup(spark, sf_dir):
             .orderBy("vec_a", "vec_b"))
 
 
+def q22_ann_multiprobe(spark, sf_dir):
+    """Multi-probe sign-cell near-dup pairs: each vector also probes
+    its Hamming-1 neighbor cells, recovering hyperplane-straddling
+    pairs single-probe q21 misses (ollie_spark.spark.textops.
+    embedding_neardup_pairs; bits pinned to 4 for the oracle)."""
+    from ollie_spark.spark.textops import embedding_neardup_pairs
+    e = _t(spark, sf_dir, "embeddings") \
+        .select("vec_id", F.transform("embedding",
+                                      lambda x: x.cast("double"))
+                .alias("emb"))
+    return (embedding_neardup_pairs(e, threshold=0.5, bits=4,
+                                    multi_probe=True)
+            .orderBy("vec_a", "vec_b"))
+
+
 def q20_monthly_order_trend(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     month = F.date_trunc("month", F.col("o_orderdate"))
@@ -399,6 +414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_ivf_bucketed_ann": q19_ivf_bucketed_ann,
         "q20_monthly_order_trend": q20_monthly_order_trend,
         "q21_embedding_neardup": q21_embedding_neardup,
+        "q22_ann_multiprobe": q22_ann_multiprobe,
         "kg_extract_mentions": kg_extract_mentions,
         "kg_graph_edges": kg_graph_edges,
         "kg_media_features": kg_media_features,
@@ -436,6 +452,18 @@ def oracle_sql() -> dict[str, str]:
               "x -> x[1]*x[2])) / "
               "(sqrt(list_sum(list_transform(a.emb, x -> x*x))) * "
               "sqrt(list_sum(list_transform(b.emb, x -> x*x))))")
+
+    def _bit(i, flip=False):
+        hi, lo = ("'0'", "'1'") if flip else ("'1'", "'0'")
+        return f"(CASE WHEN emb[{i + 1}] >= 0 THEN {hi} ELSE {lo} END)"
+
+    base_cell = " || ".join(_bit(i) for i in range(4))
+    # the vector's own cell + its 4 Hamming-1 flips (multi-probe set)
+    probe_union = " UNION ALL ".join(
+        "SELECT vec_id, emb, "
+        + " || ".join(_bit(i, flip=(i == j)) for i in range(4))
+        + " AS probe FROM c"
+        for j in (-1, 0, 1, 2, 3))
     return {
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -641,6 +669,19 @@ def oracle_sql() -> dict[str, str]:
             FROM c a JOIN c b USING (cell)
             WHERE a.vec_id < b.vec_id
               AND ROUND({cos_ab}, 4) >= 0.62
+            ORDER BY vec_a, vec_b""",
+        "q22_ann_multiprobe": f"""
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding,
+                                             x -> CAST(x AS DOUBLE)) AS emb
+                       FROM embeddings),
+                 c AS (SELECT vec_id, emb, {base_cell} AS cell FROM e),
+                 p AS ({probe_union})
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND({cos_ab}, 4) AS cosine
+            FROM p a JOIN c b ON a.probe = b.cell
+            WHERE a.vec_id < b.vec_id
+              AND ROUND({cos_ab}, 4) >= 0.5
             ORDER BY vec_a, vec_b""",
         "q20_monthly_order_trend": """
             SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)

@@ -251,30 +251,76 @@ def generalize_templates(model: DataFrame, categories: dict,
     return out.withColumn("pattern", expr).drop("_lemmas")
 
 
+def switch_args(pattern):
+    """PassiveReflections.switchArgs (PassiveReflections.scala:55-67):
+    swap the arg1 and arg2 *capture matchers wholesale* — the aliases
+    AND their node constraints travel together, the dependency path is
+    untouched."""
+    from ..model.patterns import Pattern
+    arg1 = next(m for m in pattern.node_matchers if m.alias == "arg1")
+    arg2 = next(m for m in pattern.node_matchers if m.alias == "arg2")
+    out = []
+    for i, m in enumerate(pattern.matchers):
+        if i % 2 == 0 and m.alias == "arg1":
+            out.append(arg2)
+        elif i % 2 == 0 and m.alias == "arg2":
+            out.append(arg1)
+        else:
+            out.append(m)
+    return Pattern(out)
+
+
+def reflect_row(template: str, pattern_str: str):
+    """One row's passive/active conversion, or None
+    (PassiveReflections.scala:80-93): a pattern containing an ``nsubj``
+    edge matcher whose template lacks the ``be `` prefix gains
+    ('be '+template, switchArgs(pattern)); an ``nsubjpass`` pattern
+    whose template has it gains (template[3:], switchArgs(pattern)).
+    The branch order is the reference's if/else-if — a pattern with
+    both labels takes the nsubj branch only."""
+    from ..model.patterns import Pattern
+    p = Pattern.deserialize(pattern_str)
+    labels = {e.label for e in p.edge_matchers if e.label is not None}
+    has_args = (any(m.alias == "arg1" for m in p.node_matchers)
+                and any(m.alias == "arg2" for m in p.node_matchers))
+    if not has_args:   # reference .get would crash; we skip the row
+        return None
+    if "nsubj" in labels:
+        if not template.startswith("be "):
+            return ("be " + template, switch_args(p).serialize())
+    elif "nsubjpass" in labels:
+        if template.startswith("be "):
+            return (template[3:], switch_args(p).serialize())
+    return None
+
+
 def passive_reflections(templates: DataFrame) -> DataFrame:
-    """B13 (template/PassiveReflections.scala:54-96): nsubj patterns
-    gain a passive twin ('be '+template, args swapped and nsubj ->
-    nsubjpass + auxpass path); nsubjpass patterns gain an active twin.
-    We emit the template-side reflection (pattern stays literal — the
-    reference's edge rewrite needs the full matcher algebra and only
-    fires for two fixed shapes)."""
-    active = F.col("pattern").rlike(r"^\{arg1} <nsubj<")
-    passive = F.col("pattern").rlike(r"^\{arg1} <nsubjpass<")
-    reflected = (templates
-                 .where(active | passive)
-                 .withColumn(
-                     "template",
-                     F.when(active & ~F.col("template").startswith("be "),
-                            F.concat(F.lit("be "), F.col("template")))
-                     .when(passive & F.col("template").startswith("be "),
-                           F.expr("substring(template, 4)"))
-                     .otherwise(F.col("template")))
-                 .withColumn(
-                     "pattern",
-                     F.when(active, F.regexp_replace(
-                         "pattern", r"<nsubj<", "<nsubjpass<"))
-                     .otherwise(F.regexp_replace(
-                         "pattern", r"<nsubjpass<", "<nsubj<"))))
+    """B13 (template/PassiveReflections.scala:54-96): add active and
+    passive conversions of patterns to a model — matcher-level: the
+    arg1/arg2 capture matchers swap positions (constraints included,
+    dependency path untouched) and the template gains/loses its ``be ``
+    prefix, gated on an nsubj / nsubjpass edge matcher anywhere in the
+    pattern.  (The shipped openparse.model was built WITHOUT this
+    optional tool — it contains no active/passive template twins — so
+    fidelity is pinned by matcher-algebra goldens, not the model
+    file.)"""
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            out = {"template": [], "pattern": [], "count": []}
+            for t, p, c in zip(pdf["template"], pdf["pattern"],
+                               pdf["count"]):
+                r = reflect_row(t, p)
+                if r is not None:
+                    out["template"].append(r[0])
+                    out["pattern"].append(r[1])
+                    out["count"].append(c)
+            yield pd.DataFrame(out, columns=["template", "pattern",
+                                             "count"])
+
+    reflected = templates.select("template", "pattern", "count") \
+        .mapInPandas(run, schema="template string, pattern string, "
+                                 "count long")
     return templates.unionByName(reflected).groupBy(
         "template", "pattern").agg(F.max("count").alias("count"))
 

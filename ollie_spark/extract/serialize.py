@@ -110,14 +110,9 @@ def format_tabbed(r: OllieExtractionResult, text: str = "") -> str:
     ])
 
 
-def brat_output(text: str, results) -> str:
-    """R25 (ollie/output/BratOutput.scala:10-65): standoff annotations —
-    T* text-bound spans for arg1/rel/arg2 and R* relations.  Character
-    offsets are reconstructed from the whitespace-tokenized sentence
-    (the engine tracks token spans; the corpus is space-joined)."""
+def _whitespace_char_spans(text: str):
     tokens = text.split(" ")
-    starts = []
-    pos = 0
+    starts, pos = [], 0
     for t in tokens:
         starts.append(pos)
         pos += len(t) + 1
@@ -129,21 +124,67 @@ def brat_output(text: str, results) -> str:
         e = min(e, len(tokens))
         return starts[s], starts[e - 1] + len(tokens[e - 1])
 
+    return char_span
+
+
+def brat_output(sentence, results, sentence_offset: int = 0) -> str:
+    """R25 (ollie/output/BratOutput.scala:26-31,36-57): standoff
+    annotations with REAL character offsets.
+
+    ``sentence`` is the source DependencyGraph: each part's char
+    interval is [first node's char offset, last node's offset + token
+    length] and the annotation text is the substring of the original
+    sentence over it — exact even when tokenization split punctuation
+    the whitespace join can't reproduce ("Oslo." -> token "Oslo" + ".").
+    ``sentence_offset`` shifts into document coordinates (the
+    reference's Segment offset).
+
+    Fallback: a plain string (or a graph whose node offsets don't
+    locate their tokens in the text — synthetic graphs with zeroed
+    offsets) reconstructs offsets from whitespace tokens.
+
+    Entity/relation lines follow the reference: per extraction the
+    Relation entity first, then Arg1/Arg2 entities (labels T<n>,
+    0-based, document-scoped), then ``R<n> Arg1-of/Arg2-of`` relations
+    binding each argument to the relation."""
+    if isinstance(sentence, str):
+        text, nodes = sentence, None
+    else:
+        text, nodes = sentence.text, sentence.nodes
+        ok = all(0 <= n.offset and n.offset + len(n.text) <= len(text)
+                 and text[n.offset:n.offset + len(n.text)] == n.text
+                 for n in nodes)
+        if not ok:
+            nodes = None
+
+    if nodes is not None:
+        def char_span(span):
+            toks = nodes[span[0]:span[1]]
+            return toks[0].offset, toks[-1].offset + len(toks[-1].text)
+    else:
+        char_span = _whitespace_char_spans(text)
+
     lines = []
-    t_i, r_i = 1, 1
+    t_i, r_i = 0, 0
     for r in results:
-        ids = []
-        for kind, txt, span in (("Argument", r.arg1_text, r.arg1_span),
-                                ("Relation", r.rel_text, r.rel_span),
-                                ("Argument", r.arg2_text, r.arg2_span)):
+        def entity(kind, span):
+            nonlocal t_i
             c0, c1 = char_span(span)
-            lines.append(f"T{t_i}\t{kind} {c0} {c1}\t{txt}")
-            ids.append(f"T{t_i}")
+            label = f"T{t_i}"
             t_i += 1
-        lines.append(
-            f"R{r_i}\tExtraction Arg1:{ids[0]} Rel:{ids[1]} "
-            f"Arg2:{ids[2]}")
-        r_i += 1
+            return label, (f"{label}\t{kind} {sentence_offset + c0} "
+                           f"{sentence_offset + c1}\t{text[c0:c1]}")
+
+        # labels assign args-first (T0=arg1, T1=arg2, T2=rel) but the
+        # relation entity prints first — BratOutput.scala:37-50
+        arg1, arg1_line = entity("Argument", r.arg1_span)
+        arg2, arg2_line = entity("Argument", r.arg2_span)
+        rel, rel_line = entity("Relation", r.rel_span)
+        lines += [rel_line, arg1_line, arg2_line]
+        for arg_label, edge in ((arg1, "Arg1"), (arg2, "Arg2")):
+            lines.append(f"R{r_i}\t{edge}-of Arg1:{rel} "
+                         f"Arg2:{arg_label}")
+            r_i += 1
     return "\n".join(lines)
 
 

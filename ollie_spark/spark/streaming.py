@@ -5,10 +5,13 @@ bucket manifest in materialize.py) — but a continuously-arriving corpus
 can feed the same extraction with Structured Streaming:
 
 - ``stream_extract``: file-source stream of documents parquet ->
-  foreachBatch(run_extraction) -> append parquet. Each micro-batch
-  reuses the exact batch pipeline (same UDFs, same scoring plan), so
-  streaming and batch cannot drift; exactly-once lands on the
-  checkpoint + idempotent append of (doc_id, span_idx)-keyed rows.
+  foreachBatch(run_extraction) -> parquet partitioned by batch_id with
+  dynamic partition overwrite.  Each micro-batch reuses the exact batch
+  pipeline (same UDFs, same scoring plan), so streaming and batch
+  cannot drift; exactly-once = streaming checkpoint (batch replay
+  detection) + the idempotent per-batch_id partition overwrite (a batch
+  replayed after a crash-before-checkpoint rewrites its own partition
+  instead of appending duplicates).
 - ``windowed_mention_rate``: event-time windowed aggregation with a
   watermark — the late-data-tolerant monitoring stream (mentions/min
   per relation) the reference has no analog for.
@@ -32,21 +35,34 @@ def stream_documents(spark: SparkSession, input_dir: str,
             .parquet(input_dir))
 
 
+def write_mention_batch(mentions: DataFrame, batch_id: int,
+                        output_dir: str) -> None:
+    """Idempotent micro-batch sink: the batch's rows land in partition
+    ``batch_id=<n>`` via dynamic partition overwrite, so replaying a
+    batch (crash before the streaming checkpoint committed) rewrites
+    that partition instead of appending duplicate mention rows."""
+    (mentions.withColumn("batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id")
+     .parquet(output_dir))
+
+
 def stream_extract(spark: SparkSession, input_dir: str,
                    output_dir: str, checkpoint_dir: str,
                    conf_threshold: float = 0.0):
     """documents stream -> mentions parquet, one micro-batch at a time.
 
     foreachBatch reuses the batch extraction pipeline verbatim; the
-    streaming checkpoint gives at-least-once, and downstream readers
-    dedupe on (doc_id, span_idx, arg1_text, rel_text, arg2_text).
+    streaming checkpoint detects replays and the batch_id-partitioned
+    dynamic overwrite makes them idempotent (see write_mention_batch).
     Returns the StreamingQuery (caller awaits/stops it)."""
     docs = stream_documents(spark, input_dir)
 
     def process(batch_df: DataFrame, batch_id: int):
-        (run_extraction(batch_df, conf_threshold=conf_threshold)
-         .withColumn("batch_id", F.lit(batch_id))
-         .write.mode("append").parquet(output_dir))
+        write_mention_batch(
+            run_extraction(batch_df, conf_threshold=conf_threshold),
+            batch_id, output_dir)
 
     return (docs.writeStream
             .foreachBatch(process)

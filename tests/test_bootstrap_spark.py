@@ -137,3 +137,89 @@ def test_train_confidence(spark):
     assert len(w) == len(order)
     acc = cross_validate_confidence(labelled, folds=3)
     assert acc > 0.5
+
+
+# -------------------------- B13 matcher-level reflections (round 2)
+
+def test_reflect_row_matcher_goldens():
+    """PassiveReflections.scala:54-96 semantics: arg captures swap
+    wholesale (constraints travel), path untouched, 'be ' template
+    gate, nsubj branch wins when both labels present."""
+    from ollie_spark.bootstrap.stages import reflect_row
+
+    # nsubj + no 'be ' prefix -> passive twin, constraints travel
+    t, p = reflect_row(
+        "acquire", "{arg1} <nsubj< {rel:postag=VBD} >dobj> "
+                   "{arg2:postag=NNP}")
+    assert t == "be acquire"
+    assert p == "{arg2:postag=NNP} <nsubj< {rel:postag=VBD} >dobj> {arg1}"
+
+    # nsubjpass + 'be ' prefix -> active twin, prefix stripped
+    t, p = reflect_row(
+        "be elect", "{arg1} <nsubjpass< {rel:postag=VBN} >prep_of> "
+                    "{arg2}")
+    assert t == "elect"
+    assert p == "{arg2} <nsubjpass< {rel:postag=VBN} >prep_of> {arg1}"
+
+    # gates: nsubj with 'be ' already, nsubjpass without, neither label
+    assert reflect_row("be own", "{arg1} <nsubj< {rel} >dobj> {arg2}") \
+        is None
+    assert reflect_row("own", "{arg1} <nsubjpass< {rel} >dobj> {arg2}") \
+        is None
+    assert reflect_row("own", "{arg1} <amod< {rel} >dobj> {arg2}") is None
+
+    # nsubj ANYWHERE in the path triggers (baseEdgeMatchers.exists)
+    t, p = reflect_row(
+        "say", "{arg1} >dobj> {rel:postag=VB} <nsubj< {arg2}")
+    assert t == "be say" and p.startswith("{arg2}")
+
+    # both labels -> nsubj branch only (if/else-if): 'be ' template
+    # blocks it even though the nsubjpass branch would have fired
+    assert reflect_row(
+        "be mix", "{arg1} <nsubj< {rel} >nsubjpass> {arg2}") is None
+
+
+def test_reflected_pattern_binds_swapped_args():
+    """Behavioral golden: the reflected pattern run over the same graph
+    binds arg1/arg2 swapped relative to the original."""
+    from ollie_spark.bootstrap.stages import reflect_row
+    from ollie_spark.model.patterns import Pattern, match_pattern
+    from ollie_spark.spark.synth import FIXTURE_PARSES
+    from ollie_spark.graph import DependencyGraph
+
+    text = "Juliette has a crush on Romeo ."
+    graph = DependencyGraph.deserialize(FIXTURE_PARSES[text], text=text) \
+        .collapse()
+    orig = Pattern.deserialize(
+        "{arg1} <nsubj< {rel:postag=VBZ} >dobj> {arg2}")
+    m0 = next(iter(match_pattern(orig, graph)))
+    a1 = m0.group_text("arg1")
+    a2 = m0.group_text("arg2")
+    assert (a1, a2) == ("Juliette", "crush")
+
+    _, refl = reflect_row("have", orig.serialize())
+    m1 = next(iter(match_pattern(Pattern.deserialize(refl), graph)))
+    assert (m1.group_text("arg1"), m1.group_text("arg2")) == (a2, a1)
+
+
+def test_passive_reflections_frame(spark):
+    """Frame-level B13: originals survive, twins appear with the same
+    count, non-reflectable rows pass through untouched."""
+    from ollie_spark.bootstrap.stages import passive_reflections
+
+    rows = [("acquire", "{arg1} <nsubj< {rel:postag=VBD} >dobj> {arg2}",
+             10),
+            ("be bear", "{arg1} <nsubjpass< {rel:postag=VBN} >prep_in> "
+             "{arg2}", 7),
+            ("of", "{arg1} >prep_of> {arg2} <amod< {rel}", 3)]
+    tpl = spark.createDataFrame(
+        rows, "template string, pattern string, count long")
+    got = {(r.template, r.pattern): r['count']
+           for r in passive_reflections(tpl).collect()}
+    assert len(got) == 5
+    assert got[("be acquire",
+                "{arg2} <nsubj< {rel:postag=VBD} >dobj> {arg1}")] == 10
+    assert got[("bear",
+                "{arg2} <nsubjpass< {rel:postag=VBN} >prep_in> "
+                "{arg1}")] == 7
+    assert got[("of", "{arg1} >prep_of> {arg2} <amod< {rel}")] == 3

@@ -92,11 +92,50 @@ def test_brat_output():
     from ollie_spark.extract.serialize import brat_output
     from ollie_spark.spark.synth import parse_text
     text = "OpenParse finds an example extraction ."
-    results = Ollie().extract(parse_text(text))
-    out = brat_output(text, results)
-    assert "T1\tArgument 0 9\tOpenParse" in out
-    assert "T2\tRelation 10 15\tfinds" in out
-    assert "R1\tExtraction Arg1:T1 Rel:T2 Arg2:T3" in out
+    g = parse_text(text)
+    results = Ollie().extract(g)
+    out = brat_output(g, results).splitlines()
+    # reference labeling (BratOutput.scala:37-57): args labelled first
+    # (T0, T1), relation T2 printed first, R* are Arg1-of / Arg2-of
+    assert out[0] == "T2\tRelation 10 15\tfinds"
+    assert out[1] == "T0\tArgument 0 9\tOpenParse"
+    assert out[2] == "T1\tArgument 16 37\tan example extraction"
+    assert out[3] == "R0\tArg1-of Arg1:T2 Arg2:T0"
+    assert out[4] == "R1\tArg2-of Arg1:T2 Arg2:T1"
+
+
+def test_brat_output_real_char_offsets():
+    """Punctuation-adjacent tokens: node char offsets locate 'Oslo'
+    inside 'Oslo.' exactly; whitespace reconstruction (which sees one
+    token 'Oslo.') would bleed the period into the span."""
+    from ollie_spark.extract.serialize import brat_output
+    from ollie_spark.graph import DependencyGraph
+
+    text = "Obama visited Oslo."
+    pickled = ("punct(visited_VBD_1_6, ._._3_18); "
+               "nsubj(visited_VBD_1_6, Obama_NNP_0_0); "
+               "dobj(visited_VBD_1_6, Oslo_NNP_2_14)")
+    g = DependencyGraph.deserialize(pickled, text=text)
+
+    class R:
+        arg1_span, rel_span, arg2_span = (0, 1), (1, 2), (2, 3)
+
+    out = brat_output(g, [R()]).splitlines()
+    assert out[0] == "T2\tRelation 6 13\tvisited"
+    assert out[1] == "T0\tArgument 0 5\tObama"
+    assert out[2] == "T1\tArgument 14 18\tOslo"   # NOT 'Oslo.'
+    # document coordinates via the Segment offset
+    shifted = brat_output(g, [R()], sentence_offset=100).splitlines()
+    assert shifted[2] == "T1\tArgument 114 118\tOslo"
+    # a graph whose offsets can't locate their tokens (zeroed) falls
+    # back to whitespace reconstruction instead of garbage substrings
+    zeroed = ("punct(visited_VBD_1_0, ._._3_0); "
+              "nsubj(visited_VBD_1_0, Obama_NNP_0_0); "
+              "dobj(visited_VBD_1_0, Oslo_NNP_2_0)")
+    gz = DependencyGraph.deserialize(zeroed, text="Obama visited Oslo .")
+    outz = brat_output(gz, [R()]).splitlines()
+    assert outz[1] == "T0\tArgument 0 5\tObama"
+    assert outz[2] == "T1\tArgument 14 18\tOslo"
 
 
 def test_slot_semantics(spark):

@@ -63,3 +63,28 @@ def test_windowed_mention_rate_with_late_data(spark, tmp_path):
         assert founded and max(founded) == 3
     finally:
         q.stop()
+
+
+def test_batch_replay_is_idempotent(spark, tmp_path):
+    """Replaying a micro-batch (crash before checkpoint) must rewrite
+    its batch_id partition, not duplicate rows."""
+    from ollie_spark.spark.streaming import write_mention_batch
+
+    docs = corpus(spark, 20, seed=42, partitions=2)
+    mentions = run_extraction(docs)
+    out = str(tmp_path / "replay_out")
+
+    write_mention_batch(mentions, 0, out)
+    n1 = spark.read.parquet(out).count()
+    write_mention_batch(mentions, 0, out)   # replay of batch 0
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2 and n1 > 0
+    # a genuinely new batch appends its own partition
+    write_mention_batch(mentions, 1, out)
+    got = spark.read.parquet(out)
+    assert got.count() == 2 * n1
+    assert got.select("batch_id").distinct().count() == 2
+    # and replaying batch 0 again still leaves batch 1 untouched
+    write_mention_batch(mentions.limit(5), 0, out)
+    assert spark.read.parquet(out).where("batch_id = 1").count() == n1
+    assert spark.read.parquet(out).where("batch_id = 0").count() == 5
