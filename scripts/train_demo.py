@@ -2,12 +2,14 @@
 """End-to-end bootstrap demo: train a pattern model from corpus-derived
 seeds, then evaluate it against the corpus oracle — writes TRAINING.md.
 
-Exercises the full §2.2 chain at a non-toy size:
-    seeds (lemma-grep rows from the synthetic corpus)
-    -> B4 induction -> B5/B6 filters -> B7 histogram -> B8 prep
-    generalization -> B9/B11 templates -> B14 confidence
-    -> extraction with the *trained* model on held-out documents
-    -> B17/B18 scoring (precision/yield, AUC) vs the corpus oracle.
+Exercises the full §2.2 chain at a non-toy size, in TWO variants:
+    base: seeds -> B4 induction -> B5/B6 filters -> B7 histogram
+          -> B8 prep generalization -> B9/B11 templates -> B14
+          confidence
+    full: base + B10 slot semantics + B13 passive reflections + B12
+          category generalization
+then extraction with each *trained* model on held-out documents and
+B17/B18 scoring (precision/yield, AUC) vs the corpus oracle.
 """
 
 from __future__ import annotations
@@ -63,52 +65,25 @@ def main():
                           shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
 
+    from ollie_spark.bootstrap.stages import (generalize_templates,
+                                              load_categories)
+
     n_seeds_per = 200
     seeds = spark.createDataFrame(seed_rows(n_seeds_per), SEED_SCHEMA)
-    model_rows = train_model(seeds, max_length=4, min_common=5,
-                             min_diverse=2).collect()
-
-    # extract on held-out docs with the TRAINED model
-    extractors = model_rows_to_extractors([r.asDict() for r in model_rows])
+    base_rows = train_model(seeds, max_length=4, min_common=5,
+                            min_diverse=2).collect()
+    # the full chain: + B10 slot semantics, + B13 matcher-level passive
+    # reflections, + B12 category generalization (the reference's
+    # person/location lists; a no-op when no NN rel matcher clears the
+    # lemma-overlap bar — reported either way)
+    full_df = train_model(seeds, max_length=4, min_common=5,
+                          min_diverse=2, with_reflections=True,
+                          slot_min_count=2)
+    full_rows = generalize_templates(full_df, load_categories()).collect()
 
     n_docs = 2000
     docs = corpus(spark, n_docs, seed=1234, partitions=32)
     sents = sentences(docs)
-
-    bc = spark.sparkContext.broadcast(
-        [(r["template"], r["pattern"], float(r["conf"]))
-         for r in (x.asDict() for x in model_rows)])
-
-    def run(batches):
-        import pandas as pd
-        from ollie_spark.bootstrap.stages import model_rows_to_extractors
-        from ollie_spark.extract.build import OpenParse
-        from ollie_spark.spark.synth import parse_text
-        ops = OpenParse(model_rows_to_extractors(
-            [{"template": t, "pattern": p, "conf": c}
-             for t, p, c in bc.value]))
-        for pdf in batches:
-            rows = []
-            for doc_id, span_idx, text in zip(pdf["doc_id"],
-                                              pdf["span_idx"],
-                                              pdf["text"]):
-                g = parse_text(text)
-                if g is None:
-                    continue
-                for conf, extr, _ in ops.extract(g):
-                    rows.append({"doc_id": doc_id,
-                                 "span_idx": int(span_idx),
-                                 "arg1_text": extr.arg1.text,
-                                 "rel_text": extr.rel.text,
-                                 "arg2_text": extr.arg2.text,
-                                 "conf": float(conf)})
-            yield pd.DataFrame(rows, columns=[
-                "doc_id", "span_idx", "arg1_text", "rel_text",
-                "arg2_text", "conf"])
-
-    mentions = sents.mapInPandas(
-        run, schema="doc_id string, span_idx int, arg1_text string, "
-                    "rel_text string, arg2_text string, conf double")
 
     gold_rows = set()
     for i in range(n_docs):
@@ -117,38 +92,91 @@ def main():
             gold_rows.add((f"{a}; {r}; {b}", 1))
     gold = spark.createDataFrame(sorted(gold_rows),
                                  "triple string, label int")
-
-    scored = score(mentions.withColumn("pattern", F.lit("")), gold)
-    n_extr = scored.count()
-    n_hit = scored.where("label = 1").count()
-    py = precision_yield(scored)
-    a = auc(py)
     n_gold = len(gold_rows)
-    recall_ub = (scored.where("label = 1")
-                 .select("triple").distinct().count()) / n_gold
+
+    def evaluate(model_rows):
+        bc = spark.sparkContext.broadcast(
+            [(r["template"], r["pattern"], float(r["conf"]))
+             for r in (x.asDict() for x in model_rows)])
+
+        def run(batches):
+            import pandas as pd
+            from ollie_spark.bootstrap.stages import \
+                model_rows_to_extractors
+            from ollie_spark.extract.build import OpenParse
+            from ollie_spark.spark.synth import parse_text
+            ops = OpenParse(model_rows_to_extractors(
+                [{"template": t, "pattern": p, "conf": c}
+                 for t, p, c in bc.value]))
+            for pdf in batches:
+                rows = []
+                for doc_id, span_idx, text in zip(pdf["doc_id"],
+                                                  pdf["span_idx"],
+                                                  pdf["text"]):
+                    g = parse_text(text)
+                    if g is None:
+                        continue
+                    for conf, extr, _ in ops.extract(g):
+                        rows.append({"doc_id": doc_id,
+                                     "span_idx": int(span_idx),
+                                     "arg1_text": extr.arg1.text,
+                                     "rel_text": extr.rel.text,
+                                     "arg2_text": extr.arg2.text,
+                                     "conf": float(conf)})
+                yield pd.DataFrame(rows, columns=[
+                    "doc_id", "span_idx", "arg1_text", "rel_text",
+                    "arg2_text", "conf"])
+
+        mentions = sents.mapInPandas(
+            run, schema="doc_id string, span_idx int, arg1_text string, "
+                        "rel_text string, arg2_text string, conf double")
+        scored = score(mentions.withColumn("pattern", F.lit("")), gold)
+        n_extr = scored.count()
+        n_hit = scored.where("label = 1").count()
+        a = auc(precision_yield(scored))
+        recall = (scored.where("label = 1")
+                  .select("triple").distinct().count()) / n_gold
+        return n_extr, n_hit, a, recall
+
+    results = {"base": (base_rows, *evaluate(base_rows)),
+               "full": (full_rows, *evaluate(full_rows))}
 
     md = f"""# TRAINING — bootstrap pipeline demo (trained-from-scratch model)
 
 Seeds: {n_seeds_per} per template ({seeds.count()} rows) from the
-synthetic bank (training RNG seed 11); model trained with
-min_common=5, min_diverse=2, max pattern length 4.
+synthetic bank (training RNG seed 11); trained with min_common=5,
+min_diverse=2, max pattern length 4.  Two variants:
 
-Learned model: {len(model_rows)} (template, pattern, conf) rows.
+- **base**: B4-B9 + B11 + B14 (induction, filters, prep
+  generalization, templates, confidence)
+- **full**: base + B10 slot semantics (min_count=2) + B13 passive
+  reflections (matcher-level) + B12 category generalization
+  (person/location lists)
 
 Held-out evaluation: {n_docs} fresh documents (corpus seed 1234),
-extraction with ONLY the trained model:
+extraction with ONLY each trained model:
 
-| metric | value |
-|---|---|
-| extractions | {n_extr} |
-| matching corpus oracle | {n_hit} ({n_hit / max(n_extr, 1):.3f} precision) |
-| distinct gold triples recovered | {recall_ub:.3f} of {n_gold} |
-| precision-yield AUC | {a:.3f} |
+| variant | model rows | extractions | precision | gold recovered (of {n_gold}) | PY-AUC |
+|---|---|---|---|---|---|
+"""
+    for name, (rows, n_extr, n_hit, a, recall) in results.items():
+        md += (f"| {name} | {len(rows)} | {n_extr} "
+               f"| {n_hit / max(n_extr, 1):.3f} | {recall:.3f} "
+               f"| {a:.3f} |\n")
 
-Learned patterns:
+    md += """
+Reading the table: B13 reflections *add* passive paraphrases of every
+nsubj pattern (that is the tool's purpose — PassiveReflections.scala
+header notes BuildTemplates dedup removed them), so the full variant
+emits ~2x extractions whose reflected direction the strict
+corpus oracle does not credit; precision against that oracle drops
+accordingly while gold recovery holds. On a corpus whose gold includes
+passive paraphrases, the reflected rows are the recall gain.
+
+Learned patterns (full variant):
 
 """
-    for r in sorted(model_rows, key=lambda r: -r["conf"])[:20]:
+    for r in sorted(full_rows, key=lambda r: -r["conf"])[:24]:
         md += f"- `{r['template']}` · `{r['pattern']}` · {r['conf']:.3f}\n"
     (ROOT / "TRAINING.md").write_text(md)
     print(md)
