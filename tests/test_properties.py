@@ -77,3 +77,51 @@ def test_interval_algebra(a0, al, b0, bl):
     assert interval_distance(a, b) == interval_distance(b, a)
     if intersects(a, b):
         assert interval_distance(a, b) < 1
+
+
+# ----------------------------- round-2 properties (reflections, CC)
+
+def test_switch_args_is_involution_over_model():
+    """switch_args twice reproduces every shipped pattern byte-exactly
+    (all 629 have arg1+arg2 captures)."""
+    from ollie_spark.bootstrap.stages import switch_args
+    from ollie_spark.model.loader import load_extractors
+    for e in load_extractors():
+        p = e.pattern
+        assert switch_args(switch_args(p)).serialize() == p.serialize()
+
+
+def test_reflect_row_output_never_reflects_again():
+    """reflect_row of any reflection is None (the 'be ' gates make B13
+    a fixed point after one application) — over the full model."""
+    from ollie_spark.bootstrap.stages import reflect_row
+    from ollie_spark.model.loader import load_extractors
+    from ollie_spark.model.patterns import Pattern
+    n_reflected = 0
+    for e in load_extractors():
+        t = e.template.text if hasattr(e.template, "text") else \
+            str(e.template)
+        r = reflect_row(t, e.pattern.serialize())
+        if r is None:
+            continue
+        n_reflected += 1
+        rt, rp = r
+        # reflected pattern is valid grammar and round-trips
+        assert Pattern.deserialize(rp).serialize() == rp
+        assert reflect_row(rt, rp) is None
+    assert n_reflected > 100  # the model is nsubj-heavy
+
+
+@given(st.integers(min_value=1, max_value=1 << 24))
+@settings(max_examples=40, deadline=None)
+def test_auto_cell_bits_keeps_cells_bounded(n):
+    """auto_cell_bits guarantees expected cell population stays within
+    [target/2, target] above the floor (and never exceeds the vector
+    dimension)."""
+    from ollie_spark.spark.textops import auto_cell_bits
+    bits = auto_cell_bits(n, target_cell_rows=1024)
+    assert bits >= 4
+    if bits > 4:                       # above the floor
+        assert n / (2 ** bits) <= 1024
+        assert n / (2 ** (bits - 1)) > 1024
+    assert auto_cell_bits(n, dim=6) <= 6
