@@ -116,23 +116,43 @@ def token_jaccard(toks_a, toks_b) -> Column:
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
-                        block_cols=("lang",)) -> DataFrame:
-    """Word-set Jaccard pairs within (block, token-count) blocks."""
+                        block_cols=("lang",),
+                        tc_bucket: int | None = None) -> DataFrame:
+    """Word-set Jaccard pairs within (block, token-count) blocks.
+
+    ``tc_bucket=None`` (default, oracle-pinned) blocks on the EXACT
+    token count — cheap but misses near-dups whose counts differ (e.g.
+    a repeated word).  ``tc_bucket=w`` blocks on ``floor(tc / w)`` and
+    probes each doc's neighbor buckets (b-1, b, b+1), recovering pairs
+    within ~2w token-count drift at 3x candidate cost; Jaccard is
+    verified exactly either way, so the knob trades cost for recall,
+    never precision."""
     base = docs.select(
         "doc_id", *block_cols,
         F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
         F.size(F.split(F.col("text"), " ")).cast("long").alias("tc"))
-    a, b = base.alias("a"), base.alias("b")
-    cond = (F.col("a.tc") == F.col("b.tc")) \
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    jac_out = None
+    if tc_bucket is None:
+        a, b = base.alias("a"), base.alias("b")
+        cond = (F.col("a.tc") == F.col("b.tc")) \
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+    else:
+        bucket = F.floor(F.col("tc") / tc_bucket)
+        probe = base.withColumn(
+            "_bkt", F.explode(F.array(bucket - 1, bucket, bucket + 1)))
+        anchor = base.withColumn("_bkt", bucket)
+        a, b = probe.alias("a"), anchor.alias("b")
+        cond = (F.col("a._bkt") == F.col("b._bkt")) \
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     jac = token_jaccard(F.col("a.toks"), F.col("b.toks"))
-    return (a.join(b, cond)
-            .where(jac >= threshold)
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"),
-                    F.round(jac, 4).alias("jaccard")))
+    out = (a.join(b, cond)
+           .where(jac >= threshold)
+           .select(F.col("a.doc_id").alias("doc_a"),
+                   F.col("b.doc_id").alias("doc_b"),
+                   F.round(jac, 4).alias("jaccard")))
+    return out.distinct() if tc_bucket is not None else out
 
 
 def text_quality(docs: DataFrame) -> DataFrame:

@@ -161,3 +161,22 @@ def test_q10_logic_finds_orderless_customers(spark, tmp_path):
     orows = con.execute(
         entry_mod.oracle_sql()["q10_customers_without_orders"]).fetchall()
     assert orows == [(2, "MACHINERY")]
+
+
+def test_ngram_jaccard_tc_bucket_recovers_count_drift(spark):
+    """Exact token-count blocking (the q14 oracle shape) misses a pair
+    whose word SETS match but counts differ (a repeated word); the
+    tc_bucket probe path recovers it without changing exact-block
+    results."""
+    from ollie_spark.spark.textops import ngram_jaccard_pairs
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [("x1", "en", base),
+            ("x2", "en", base + " alpha"),       # same set, tc+1
+            ("y1", "en", "totally different words everywhere here now")]
+    docs = spark.createDataFrame(rows, "doc_id string, lang string, "
+                                       "text string")
+    exact = ngram_jaccard_pairs(docs, threshold=0.99)
+    bucketed = ngram_jaccard_pairs(docs, threshold=0.99, tc_bucket=4)
+    assert exact.count() == 0
+    got = [(r.doc_a, r.doc_b, r.jaccard) for r in bucketed.collect()]
+    assert got == [("x1", "x2", 1.0)]
