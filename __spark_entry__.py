@@ -430,15 +430,20 @@ def oracle_sql() -> dict[str, str]:
         f"  list_transform(range(0, greatest(len(string_split(text,' '))-3,0)+1),"
         f"    i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')),"
         f"  s -> md5(s || '#{seeds[k]}')))") for k in range(4)}
+    # the oracle mirrors minhash_band_pairs' degenerate-band cap
+    # (DEFAULT_MAX_BAND_BUCKET) so Spark and DuckDB agree at ANY scale,
+    # not just where no bucket exceeds the cap
     banded = (
         "WITH d AS (SELECT doc_id, "
         + ", ".join(f"{v} AS mh{k}" for k, v in
                     ((k, mh[f'mh{k}']) for k in range(4)))
         + " FROM documents), "
         "banded AS ("
-        "  SELECT doc_id, mh0 || '|' || mh1 AS band_key FROM d"
-        "  UNION ALL"
-        "  SELECT doc_id, mh2 || '|' || mh3 AS band_key FROM d)")
+        "  SELECT doc_id, band_key FROM ("
+        "    SELECT doc_id, mh0 || '|' || mh1 AS band_key FROM d"
+        "    UNION ALL"
+        "    SELECT doc_id, mh2 || '|' || mh3 AS band_key FROM d)"
+        "  QUALIFY COUNT(*) OVER (PARTITION BY band_key) <= 256)")
     simhash_bits = " || ".join(
         f"(CASE WHEN list_sum(list_transform(words, w -> CASE WHEN "
         f"substr(md5(w), {i + 1}, 1) IN "

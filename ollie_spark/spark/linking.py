@@ -261,6 +261,7 @@ def _star_components(sym: DataFrame, max_iter: int = 50) -> DataFrame:
         return e.unionByName(e.select(F.col("v").alias("u"),
                                       F.col("u").alias("v")))
 
+    converged = False
     for _ in range(max_iter):
         # large-star: m = min over N(u) ∪ {u}; attach v > u to m
         s = _sym(edges)
@@ -288,7 +289,14 @@ def _star_components(sym: DataFrame, max_iter: int = 50) -> DataFrame:
                   and edges.exceptAll(small).limit(1).count() == 0)
         edges = small
         if stable:
+            converged = True
             break
+    if not converged:
+        import warnings
+        warnings.warn(
+            f"_star_components: loop exhausted max_iter={max_iter} "
+            f"before the edge set stabilized — components may be "
+            f"split; raise max_iter", RuntimeWarning, stacklevel=2)
     # at convergence every non-root hangs directly off its component
     # min; roots are vertices that never appear as a 'u'
     labels = edges.select(F.col("u").alias("norm"),

@@ -111,8 +111,6 @@ def _extraction_stage(rows_df: DataFrame, batch_graphs) -> DataFrame:
     def run(batches):
         import gc
 
-        import pandas as pd
-
         ollie = _get_ollie()
         # the extraction loop allocates heavily (nodes, edges, matches)
         # but creates no reference cycles, so CPython's cyclic GC is
@@ -120,10 +118,21 @@ def _extraction_stage(rows_df: DataFrame, batch_graphs) -> DataFrame:
         # ~15% single-core and worsen multi-core scaling (pause work
         # grows with live heap x worker count).  Freeze the loaded
         # model out of future scans and collect ~70x less often;
-        # refcounting still frees everything promptly.
+        # refcounting still frees everything promptly.  Thresholds are
+        # restored on exit — reused python workers run other stages'
+        # UDFs, which must not inherit this stage's tuning.
         gc.collect()
         gc.freeze()
+        old_threshold = gc.get_threshold()
         gc.set_threshold(50_000, 25, 25)
+        try:
+            yield from _run_batches(batches, ollie, col_names)
+        finally:
+            gc.set_threshold(*old_threshold)
+
+    def _run_batches(batches, ollie, col_names):
+        import pandas as pd
+
         # cap the output accumulator: Arrow input batches default to
         # 10k rows (~25k+ output rows live per worker) — flushing in
         # chunks keeps the live set flat regardless of batch size

@@ -131,7 +131,6 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
         "doc_id", *block_cols,
         F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
         F.size(F.split(F.col("text"), " ")).cast("long").alias("tc"))
-    jac_out = None
     if tc_bucket is None:
         a, b = base.alias("a"), base.alias("b")
         cond = (F.col("a.tc") == F.col("b.tc")) \
@@ -267,8 +266,10 @@ def embedding_neardup_pairs(vecs: DataFrame, threshold: float = 0.62,
     finer cells.  (q21's oracle wrapper pins bits=4, single-probe.)"""
     if bits is None:
         if dim is None:
-            first = vecs.select(F.size(vec_col).alias("d")).first()
-            dim = int(first["d"]) if first else 4
+            # max over the corpus: null-safe (agg skips null vectors)
+            # and deterministic, unlike first() on an unordered frame
+            row = vecs.agg(F.max(F.size(vec_col)).alias("d")).first()
+            dim = int(row["d"]) if row and row["d"] is not None else 4
         bits = auto_cell_bits(vecs.count(), dim=dim)
     base = vecs.withColumn("_cell", sign_cell(F.col(vec_col), bits))
     if multi_probe:
