@@ -175,7 +175,9 @@ def q11_dedup_exact(spark, sf_dir):
             .orderBy("lang"))
 
 
-from ollie_spark.spark.textops import (MINHASH_SEEDS as _MINHASH_SEEDS,  # noqa: E402
+from ollie_spark.spark.textops import (DEFAULT_MAX_BAND_BUCKET as _MAX_BAND,  # noqa: E402
+                                       DEFAULT_MAX_JACCARD_BLOCK as _MAX_BLOCK,
+                                       MINHASH_SEEDS as _MINHASH_SEEDS,
                                        cosine as _lib_cosine,
                                        doc_fingerprint, minhash_band_pairs,
                                        ngram_jaccard_pairs, sign_cell,
@@ -431,8 +433,9 @@ def oracle_sql() -> dict[str, str]:
         f"    i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')),"
         f"  s -> md5(s || '#{seeds[k]}')))") for k in range(4)}
     # the oracle mirrors minhash_band_pairs' degenerate-band cap
-    # (DEFAULT_MAX_BAND_BUCKET) so Spark and DuckDB agree at ANY scale,
-    # not just where no bucket exceeds the cap
+    # (interpolated from DEFAULT_MAX_BAND_BUCKET so the two engines can
+    # never silently desynchronize) so Spark and DuckDB agree at ANY
+    # scale, not just where no bucket exceeds the cap
     banded = (
         "WITH d AS (SELECT doc_id, "
         + ", ".join(f"{v} AS mh{k}" for k, v in
@@ -443,7 +446,7 @@ def oracle_sql() -> dict[str, str]:
         "    SELECT doc_id, mh0 || '|' || mh1 AS band_key FROM d"
         "    UNION ALL"
         "    SELECT doc_id, mh2 || '|' || mh3 AS band_key FROM d)"
-        "  QUALIFY COUNT(*) OVER (PARTITION BY band_key) <= 256)")
+        f"  QUALIFY COUNT(*) OVER (PARTITION BY band_key) <= {_MAX_BAND})")
     simhash_bits = " || ".join(
         f"(CASE WHEN list_sum(list_transform(words, w -> CASE WHEN "
         f"substr(md5(w), {i + 1}, 1) IN "
@@ -572,12 +575,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, simhash, COUNT(*) AS n FROM s
             GROUP BY lang, simhash HAVING COUNT(*) >= 2
             ORDER BY lang, simhash""",
-        "q14_ngram_jaccard_pairs": """
+        # mirrors ngram_jaccard_pairs' degenerate-block cap (QUALIFY on
+        # the (lang, tc) block size, constant interpolated from
+        # DEFAULT_MAX_JACCARD_BLOCK) so both engines agree at any scale
+        "q14_ngram_jaccard_pairs": f"""
             WITH base AS (
                 SELECT doc_id, lang,
                        list_distinct(string_split(text, ' ')) AS toks,
                        len(string_split(text, ' ')) AS tc
-                FROM documents)
+                FROM documents
+                QUALIFY COUNT(*) OVER (PARTITION BY lang,
+                    len(string_split(text, ' '))) <= {_MAX_BLOCK})
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
                          / len(list_distinct(list_concat(a.toks, b.toks))),

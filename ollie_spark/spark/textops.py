@@ -31,6 +31,14 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 # ``minhash_dropped_bands`` — never silent.
 DEFAULT_MAX_BAND_BUCKET = 256
 
+# same discipline for the Jaccard (block, token-count) blocks: token
+# counts concentrate hard in real corpora (10^8 same-lang docs with
+# tc~500 at web scale would otherwise self-join O(block^2) inside ONE
+# block).  Measured block maxima on the test corpora are <= 48 (sf0.1),
+# so the default never fires below web scale.  Dropped blocks are
+# observable via ``ngram_dropped_blocks``.
+DEFAULT_MAX_JACCARD_BLOCK = 256
+
 
 def word_shingles(text_col, n: int = 3) -> Column:
     words = F.split(text_col, " ")
@@ -115,9 +123,25 @@ def token_jaccard(toks_a, toks_b) -> Column:
             / F.size(F.array_union(toks_a, toks_b)))
 
 
+def _jaccard_blocked(docs: DataFrame, block_cols, tc_bucket):
+    """(base, block_key_cols) for the Jaccard block join: base carries
+    doc_id, block columns, distinct-token array, token count, and —
+    in bucketed mode — the anchor bucket ``_bkt``."""
+    base = docs.select(
+        "doc_id", *block_cols,
+        F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("tc"))
+    if tc_bucket is None:
+        return base, list(block_cols) + ["tc"]
+    base = base.withColumn("_bkt", F.floor(F.col("tc") / tc_bucket))
+    return base, list(block_cols) + ["_bkt"]
+
+
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
                         block_cols=("lang",),
-                        tc_bucket: int | None = None) -> DataFrame:
+                        tc_bucket: int | None = None,
+                        max_block: int = DEFAULT_MAX_JACCARD_BLOCK
+                        ) -> DataFrame:
     """Word-set Jaccard pairs within (block, token-count) blocks.
 
     ``tc_bucket=None`` (default, oracle-pinned) blocks on the EXACT
@@ -126,11 +150,21 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
     probes each doc's neighbor buckets (b-1, b, b+1), recovering pairs
     within ~2w token-count drift at 3x candidate cost; Jaccard is
     verified exactly either way, so the knob trades cost for recall,
-    never precision."""
-    base = docs.select(
-        "doc_id", *block_cols,
-        F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("tc"))
+    never precision.
+
+    Blocks larger than ``max_block`` are dropped before the self-join
+    (the same cap-and-count discipline as minhash_band_pairs /
+    linking.lsh_candidate_pairs): one degenerate (lang, token-count)
+    key over millions of boilerplate docs must not emit O(block^2)
+    pairs.  A dropped block's docs are excluded from both join sides
+    (in bucketed mode they neither anchor nor probe), so candidates
+    stay <= 3 * max_block per surviving probe row.  Count the
+    casualties with ``ngram_dropped_blocks``."""
+    base, key_cols = _jaccard_blocked(docs, block_cols, tc_bucket)
+    if max_block is not None:
+        sized = base.withColumn(
+            "_n", F.count("*").over(Window.partitionBy(*key_cols)))
+        base = sized.where(F.col("_n") <= max_block).drop("_n")
     if tc_bucket is None:
         a, b = base.alias("a"), base.alias("b")
         cond = (F.col("a.tc") == F.col("b.tc")) \
@@ -138,10 +172,9 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
     else:
         bucket = F.floor(F.col("tc") / tc_bucket)
         probe = base.withColumn(
-            "_bkt", F.explode(F.array(bucket - 1, bucket, bucket + 1)))
-        anchor = base.withColumn("_bkt", bucket)
-        a, b = probe.alias("a"), anchor.alias("b")
-        cond = (F.col("a._bkt") == F.col("b._bkt")) \
+            "_pbkt", F.explode(F.array(bucket - 1, bucket, bucket + 1)))
+        a, b = probe.alias("a"), base.alias("b")
+        cond = (F.col("a._pbkt") == F.col("b._bkt")) \
             & (F.col("a.doc_id") < F.col("b.doc_id"))
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
@@ -152,6 +185,16 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
                    F.col("b.doc_id").alias("doc_b"),
                    F.round(jac, 4).alias("jaccard")))
     return out.distinct() if tc_bucket is not None else out
+
+
+def ngram_dropped_blocks(docs: DataFrame, block_cols=("lang",),
+                         tc_bucket: int | None = None,
+                         max_block: int = DEFAULT_MAX_JACCARD_BLOCK
+                         ) -> int:
+    """How many Jaccard blocks the cap skipped (metrics, not silent)."""
+    base, key_cols = _jaccard_blocked(docs, block_cols, tc_bucket)
+    return (base.groupBy(*key_cols).count()
+            .where(F.col("count") > max_block).count())
 
 
 def text_quality(docs: DataFrame) -> DataFrame:

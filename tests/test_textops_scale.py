@@ -163,6 +163,35 @@ def test_q10_logic_finds_orderless_customers(spark, tmp_path):
     assert orows == [(2, "MACHINERY")]
 
 
+def test_degenerate_jaccard_block_is_capped_and_counted(spark):
+    # 30 same-lang docs with IDENTICAL token counts share one (lang, tc)
+    # block -> uncapped self-join would emit 30*29/2 = 435 pairs; a cap
+    # below 30 drops the block and the drop is counted, never silent.
+    from ollie_spark.spark.textops import (ngram_dropped_blocks,
+                                           ngram_jaccard_pairs)
+    same = [(f"d{i:03d}", "en",
+             "lorem ipsum dolor sit amet consectetur adipiscing elit")
+            for i in range(30)]
+    uniq = [("u1", "en", "short text here"),
+            ("u2", "en", "short text here")]
+    docs = spark.createDataFrame(
+        same + uniq, "doc_id string, lang string, text string")
+    capped = ngram_jaccard_pairs(docs, threshold=0.5, max_block=16)
+    # the degenerate block is gone; the small block still pairs
+    assert ({(r.doc_a, r.doc_b) for r in capped.collect()}
+            == {("u1", "u2")})
+    assert ngram_dropped_blocks(docs, max_block=16) == 1
+    # cap observable as absent: uncapped emits the full quadratic set
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.5, max_block=None)
+    assert uncapped.count() == 435 + 1
+    # the bucketed path honors the same cap (anchor + probe excluded)
+    bcapped = ngram_jaccard_pairs(docs, threshold=0.5, max_block=16,
+                                  tc_bucket=4)
+    assert ({(r.doc_a, r.doc_b) for r in bcapped.collect()}
+            == {("u1", "u2")})
+    assert ngram_dropped_blocks(docs, max_block=16, tc_bucket=4) == 1
+
+
 def test_ngram_jaccard_tc_bucket_recovers_count_drift(spark):
     """Exact token-count blocking (the q14 oracle shape) misses a pair
     whose word SETS match but counts differ (a repeated word); the
