@@ -261,6 +261,18 @@ def _star_components(sym: DataFrame, max_iter: int = 50) -> DataFrame:
         return e.unionByName(e.select(F.col("v").alias("u"),
                                       F.col("u").alias("v")))
 
+    def _edge_sig(e):
+        # distinct edge sets are equal iff (count, hash-sum) agree —
+        # one agg job instead of two exceptAll probes per round; a
+        # collision needs two distinct sets with identical 64-bit hash
+        # SUMS, vanishing even at web-scale edge counts.  decimal(38,0)
+        # keeps the sum exact (and ANSI-safe) at any edge count.
+        r = e.agg(F.count("*").alias("n"),
+                  F.sum(F.xxhash64("u", "v").cast("decimal(38,0)"))
+                  .alias("h")).first()
+        return (r["n"], r["h"])
+
+    sig = _edge_sig(edges)
     converged = False
     for _ in range(max_iter):
         # large-star: m = min over N(u) ∪ {u}; attach v > u to m
@@ -272,11 +284,13 @@ def _star_components(sym: DataFrame, max_iter: int = 50) -> DataFrame:
                .select(F.col("v").alias("u"), F.col("m").alias("v"))
                .where(F.col("u") != F.col("v"))
                .distinct())
-        # small-star over the attach edges: m = min over {u} ∪ {v<=u}
-        le = big.where(F.col("v") <= F.col("u"))
-        m2 = le.groupBy("u").agg(
+        # small-star over the attach edges: m = min over {u} ∪ {v<=u}.
+        # big is ALREADY canonical u > v (large-star attaches each old
+        # v to m <= old u < old v), so the whole set is the v<=u
+        # neighborhood — no filter needed.
+        m2 = big.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m"))
-        small = (le.join(m2, "u")
+        small = (big.join(m2, "u")
                  .select(F.col("v").alias("a"), F.col("m").alias("b"))
                  .unionByName(m2.select(F.col("u").alias("a"),
                                         F.col("m").alias("b")))
@@ -285,9 +299,9 @@ def _star_components(sym: DataFrame, max_iter: int = 50) -> DataFrame:
                          F.least("a", "b").alias("v"))
                  .distinct()
                  .localCheckpoint(eager=True))
-        stable = (small.exceptAll(edges).limit(1).count() == 0
-                  and edges.exceptAll(small).limit(1).count() == 0)
-        edges = small
+        new_sig = _edge_sig(small)
+        stable = new_sig == sig
+        edges, sig = small, new_sig
         if stable:
             converged = True
             break

@@ -129,6 +129,12 @@ def _extraction_stage(rows_df: DataFrame, batch_graphs) -> DataFrame:
             yield from _run_batches(batches, ollie, col_names)
         finally:
             gc.set_threshold(*old_threshold)
+            # unfreeze too: a reused python worker runs other stages'
+            # UDFs, and anything alive at freeze time (their state
+            # included) must return to cyclic-GC visibility or cycles
+            # formed later among those objects leak for the worker's
+            # lifetime
+            gc.unfreeze()
 
     def _run_batches(batches, ollie, col_names):
         import pandas as pd
@@ -219,6 +225,24 @@ def _extraction_stage(rows_df: DataFrame, batch_graphs) -> DataFrame:
                 if len(cols["doc_id"]) >= flush_rows:
                     yield pd.DataFrame(cols, columns=col_names)
                     cols = {n: [] for n in col_names}
+            # symmetric alignment check: a parser yielding FEWER graphs
+            # than rows is flagged per row above; one yielding MORE
+            # would silently pair every row with the wrong graph if the
+            # extras went unchecked — probe for leftovers and surface a
+            # per-batch error row
+            if graphs_iter is not None and len(pdf):
+                try:
+                    next(graphs_iter)
+                except StopIteration:
+                    pass
+                except Exception:  # noqa: BLE001 — probe must not raise
+                    pass
+                else:
+                    emit(pdf["doc_id"].iloc[-1], pdf["span_idx"].iloc[-1],
+                         int(pdf["sent_idx"].iloc[-1])
+                         if "sent_idx" in pdf.columns else 0,
+                         error="parser returned extra graphs "
+                               "(output misaligned with input rows)")
             if cols["doc_id"]:
                 yield pd.DataFrame(cols, columns=col_names)
 

@@ -239,6 +239,24 @@ def test_parser_batch_failure_shields_batch(spark):
     assert "parser batch failure: RuntimeError" in errs[0].error
 
 
+def test_parser_extra_graphs_flagged(spark):
+    """The alignment contract is symmetric: a parser yielding MORE
+    graphs than input rows signals misalignment (every row could be
+    paired with the wrong graph) and must surface an error row, not be
+    silently truncated."""
+    from ollie_spark.spark.pipeline import extract_mentions, sentences
+
+    def overlong_parser(texts):
+        return [None] * (len(texts) + 1)
+
+    docs = spark.createDataFrame(
+        [("e-0", [("text", "Anything at all .", None, 0)])],
+        schema=docs_schema())
+    raw = extract_mentions(sentences(docs), parser=overlong_parser)
+    errs = [r.error for r in raw.collect() if r.error is not None]
+    assert any("extra graphs" in e for e in errs), errs
+
+
 def test_sent_idx_propagated_through_segmentation(spark):
     """Composing R2 upstream must keep sentence provenance: mentions
     from different sentences of one span carry distinct sent_idx."""
