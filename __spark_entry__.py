@@ -349,7 +349,9 @@ def kg_media_features(spark, sf_dir):
     n_docs = _t(spark, sf_dir, "documents").count()
     feats = extract_media_features(
         media_spans(corpus(spark, n_docs, seed=42)))
-    return media_ann_buckets(feats).select(
+    # bits pinned to 4 here ONLY: this query's row set is a recorded
+    # driver baseline; the library default auto-sizes from corpus size
+    return media_ann_buckets(feats, bits=4).select(
         "doc_id", "span_idx", "kind", "media_ref", "width", "height",
         "duration_ms", "n_frames", "cell")
 

@@ -149,14 +149,15 @@ def sample_frames(features: DataFrame, every_n: int) -> DataFrame:
 
 
 def media_ann_buckets(features: DataFrame,
-                      bits: int | None = 4) -> DataFrame:
+                      bits: int | None = None) -> DataFrame:
     """Embedding-space LSH cells over the media embeddings — the same
     IVF-bucketed ANN path as q19, on multimodal vectors.
 
-    ``bits=None`` sizes the cell count from the corpus
-    (textops.auto_cell_bits) so cell population stays ~constant as the
-    corpus grows; the default stays 4 where small-scale oracles pin it.
-    """
+    ``bits=None`` (default) sizes the cell count from the corpus
+    (textops.auto_cell_bits) so cell population — and with it the
+    within-cell join cost — stays ~constant as the corpus grows.  Pass
+    an explicit ``bits`` only where a small-scale oracle pins it (the
+    kg_media_features entry wrapper pins 4)."""
     from .textops import auto_cell_bits, sign_cell
     nonnull = features.where(F.col("embedding").isNotNull())
     if bits is None:

@@ -247,8 +247,12 @@ def cosine(a, b) -> Column:
     return dot / (na * nb)
 
 
-def sign_cell(vec_col, bits: int = 4) -> Column:
-    """IVF-style coarse cell: sign bits of the leading dimensions."""
+def sign_cell(vec_col, bits: int) -> Column:
+    """IVF-style coarse cell: sign bits of the leading dimensions.
+
+    ``bits`` is required: a fixed default makes within-cell joins
+    quadratic as the corpus grows — callers pass an explicit pin
+    (oracle-reproducible demos) or size it with ``auto_cell_bits``."""
     return F.concat(*[
         F.when(F.element_at(vec_col, i + 1) >= 0, F.lit("1"))
         .otherwise(F.lit("0")) for i in range(bits)])

@@ -61,6 +61,7 @@ def test_resize_and_frame_sample(spark, media):
 
 
 def test_media_ann_buckets(media):
+    # default = auto-sized bits; a small corpus sits at the 4-bit floor
     cells = media_ann_buckets(extract_media_features(media))
     rows = cells.collect()
     assert all(len(r.cell) == 4 and set(r.cell) <= {"0", "1"}
@@ -70,3 +71,34 @@ def test_media_ann_buckets(media):
     for r in rows:
         by_ref.setdefault(r.media_ref, set()).add(r.cell)
     assert all(len(v) == 1 for v in by_ref.values())
+
+
+def _media_features_df(spark, n):
+    """Synthetic decoded-media features (FakeDecoder embeddings) at a
+    size where auto bit-sizing leaves the 4-bit floor."""
+    dec = FakeDecoder()
+    rows = [(f"d{i}", 0, "image", f"media://img/{i}",
+             dec.embed(dec.decode("image", f"media://img/{i}")))
+            for i in range(n)]
+    return spark.createDataFrame(
+        rows, "doc_id string, span_idx int, kind string, "
+              "media_ref string, embedding array<float>")
+
+
+def test_media_pair_counts_stay_linear_with_auto_bits(spark):
+    """Mirror of test_textops_scale's linearity check on the media ANN
+    path: the auto-sized default keeps within-cell candidate pairs
+    ~linear as the corpus doubles; a fixed 4-bit grid quadruples."""
+    def pair_count(cells):
+        sizes = cells.groupBy("cell").count().collect()
+        return sum(r["count"] * (r["count"] - 1) // 2 for r in sizes)
+
+    counts_auto, counts_fixed = [], []
+    for n in (16384, 32768, 65536):
+        feats = _media_features_df(spark, n)
+        counts_auto.append(pair_count(media_ann_buckets(feats)))
+        counts_fixed.append(pair_count(media_ann_buckets(feats, bits=4)))
+    for a, b in zip(counts_auto, counts_auto[1:]):
+        assert b / a < 3.0, f"auto-bits pair growth superlinear: {counts_auto}"
+    assert counts_fixed[-1] / counts_fixed[0] > 8.0, (
+        f"fixed-bits should blow up quadratically: {counts_fixed}")
