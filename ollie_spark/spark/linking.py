@@ -79,14 +79,25 @@ def minhash_signature(df: DataFrame, col: str = "norm",
                     lambda i: c.substr(i, F.lit(3))))
     df = df.withColumn("_shingles", F.array_distinct(shingles))
 
-    # NB: the lambda must take exactly one parameter — pyspark's
-    # `transform` passes (element, index) to two-parameter lambdas,
-    # which would silently replace a default-arg seed with the index.
-    def hasher(seed):
-        return lambda x: F.xxhash64(x, F.lit(seed))
-
-    sig = F.array(*[F.array_min(F.transform("_shingles", hasher(seed)))
-                    for seed in range(num_hashes)])
+    # ONE aggregate pass computes all num_hashes signature slots: the
+    # accumulator is the running per-seed minimum array, each element
+    # contributes its num_hashes seeded hashes via zip_with/least.
+    # Identical values to the per-seed array_min(transform(...)) form,
+    # but a single expression tree instead of num_hashes of them —
+    # the per-seed forest cost ~83s of cold Catalyst/codegen work per
+    # session (9.5s warm, data-independent) on the 16-hash default.
+    # NB: lambdas must take exactly the declared parameter count —
+    # pyspark HOFs change semantics with arity (transform passes
+    # (elem, index) to 2-param lambdas), hence no default-arg seeds.
+    long_max = (1 << 63) - 1
+    init = F.array(*[F.lit(long_max).cast("long")
+                     for _ in range(num_hashes)])
+    sig = F.aggregate(
+        "_shingles", init,
+        lambda acc, x: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(x, F.lit(s)) for s in range(num_hashes)]),
+            lambda a, h: F.least(a, h)))
     return df.withColumn("sig", sig).drop("_shingles")
 
 
