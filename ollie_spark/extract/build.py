@@ -352,14 +352,18 @@ class OpenParse:
         graph = self.simplify_graph(graph)
         labels = graph.edge_labels
         has_prep = any(l.startswith("prep") for l in labels)
+        postags = frozenset(n.postag for n in graph.nodes)
 
         results = []
         for ex in self.extractors:
             # R7 feasibility: every exact edge label must occur; regex
-            # edges are prep_* captures, checked against any prep label
+            # edges are prep_* captures, checked against any prep label;
+            # every exact node postag must occur in the sentence
             if not ex.pattern.required_labels <= labels:
                 continue
             if ex.pattern.has_regex_edge and not has_prep:
+                continue
+            if not ex.pattern.required_postags <= postags:
                 continue
             for extr in ex.extract(
                     graph, expand=self.config.expand_extraction,

@@ -12,7 +12,11 @@ run inside the Arrow-batched extraction UDF — never as Spark joins.
 
 from __future__ import annotations
 
+from operator import attrgetter
+
 from ..graph import DependencyGraph, Node, span_of, superset
+
+_SORT_KEY = attrgetter("sort_key")  # C-level key fn for the hot sorts
 
 ARGUMENT_EXPANSION_LABELS = frozenset(
     {"det", "prep_of", "amod", "num", "number", "nn", "poss", "quantmod",
@@ -26,7 +30,7 @@ _VERB_REL_EXPANSION_LABELS = frozenset(
 
 
 def _sorted_nodes(nodes) -> list[Node]:
-    return sorted(nodes, key=lambda n: n.sort_key)
+    return sorted(nodes, key=_SORT_KEY)
 
 
 def nodes_text(nodes) -> str:

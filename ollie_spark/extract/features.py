@@ -38,12 +38,41 @@ def _b(x) -> float:
     return 1.0 if x else 0.0
 
 
+from functools import lru_cache  # noqa: E402
+
+
+@lru_cache(maxsize=8192)
 def _bad_characters(text: str) -> float:
+    # memoized: arg/rel texts repeat heavily within a worker, and the
+    # per-character python loops are the battery's costliest scans
     caps = sum(1 for c in text if "A" <= c <= "Z")
     if caps > 5:
         return 1.0
     good = sum(1 for c in text if c in "AEIOUYaeiouy0123456789")
     return 1.0 if good < 2 else 0.0
+
+
+def _sentence_cache(graph: DependencyGraph) -> dict:
+    """Per-sentence feature constants, computed once per graph and
+    stashed in the graph's __dict__ (several extractions share one
+    sentence; these scans don't depend on the extraction)."""
+    sent_nodes = graph.nodes
+    imperative = False
+    prev_tag = None
+    for n in sent_nodes:
+        if (prev_tag is None or prev_tag == ",") \
+                and n.postag.startswith("VB"):
+            imperative = True
+            break
+        prev_tag = n.postag
+    cache = {
+        "imperative": imperative,
+        "sent_join": " ".join(n.text for n in sent_nodes),
+        "hyp_lowers": [t for n in sent_nodes
+                       if (t := n.text.lower()) in _HYP_WORDS],
+    }
+    graph.__dict__["_feat_cache"] = cache
+    return cache
 
 
 def _noun_verb_noun(nodes) -> float:
@@ -80,27 +109,21 @@ def feature_vector(graph: DependencyGraph, extr: DetailedExtraction,
     extr_span = extr.span
     sent_interval = graph.interval
 
+    cache = graph.__dict__.get("_feat_cache") or _sentence_cache(graph)
+
     f = {}
 
     f["sentence has question mark"] = _b("?" in extr_text)
 
-    # verb at sentence start or right after a comma
-    imperative = False
-    prev_tag = None
-    for n in sent_nodes:
-        if (prev_tag is None or prev_tag == ",") and n.postag.startswith("VB"):
-            imperative = True
-            break
-        prev_tag = n.postag
-    f["sentence is imperative"] = _b(imperative)
+    # verb at sentence start or right after a comma (per-sentence)
+    f["sentence is imperative"] = _b(cache["imperative"])
 
     tags2 = [n.postag for n in arg2.nodes]
     f["arg2 contains infinitive"] = _b(any(
         tags2[i - 1] == "TO" and tags2[i].startswith("VB")
         for i in range(1, len(tags2))))
 
-    f["rel is contiguous"] = _b(
-        rel.text in " ".join(n.text for n in sent_nodes))
+    f["rel is contiguous"] = _b(rel.text in cache["sent_join"])
 
     before1 = next((n for n in sent_nodes
                     if interval_lt(n.indices, arg1_span)
@@ -161,8 +184,7 @@ def feature_vector(graph: DependencyGraph, extr: DetailedExtraction,
 
     rel_words = set(rel.text.split(" "))
     f["hyp words in rel"] = _b(any(
-        n.text.lower() in _HYP_WORDS and n.text.lower() not in rel_words
-        for n in sent_nodes))
+        t not in rel_words for t in cache["hyp_lowers"]))
 
     rel_end = rel.text.rsplit(" ", 1)[-1]
     arg2_words = [w.lower() for w in arg2.text.split(" ")]

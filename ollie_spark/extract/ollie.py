@@ -55,13 +55,20 @@ class Ollie:
         self.openparse = OpenParse(extractors or load_extractors(), config)
         self.intercept, self.weights = classifier or load_classifier()
         self.feature_order = feature_names(self.weights)
+        # weights in feature_order: scoring is a plain dot product over
+        # the ordered tuple (no per-feature dict lookups in the UDF)
+        self._weights_ordered = [self.weights[n] for n in self.feature_order]
 
     def extract(self, graph: DependencyGraph) -> list[OllieExtractionResult]:
+        import math as _math
         sgraph = self.openparse.simplify_graph(graph)
         out = []
         for op_conf, extr, extractor in self._extract_simplified(sgraph):
             feats = feature_vector(sgraph, extr, extractor, op_conf)
-            conf = ollie_confidence(feats, self.intercept, self.weights)
+            ordered = tuple(feats[n] for n in self.feature_order)
+            z = self.intercept + sum(
+                w * f for w, f in zip(self._weights_ordered, ordered))
+            conf = 1.0 / (1.0 + _math.exp(-z))
             out.append(OllieExtractionResult(
                 arg1_text=extr.arg1.text,
                 rel_text=extr.rel.text,
@@ -75,7 +82,7 @@ class Ollie:
                 attribution=attribution(extr),
                 pattern=extractor.pattern.source or
                 extractor.pattern.serialize(),
-                features=tuple(feats[n] for n in self.feature_order),
+                features=ordered,
             ))
         out.sort(key=lambda r: (-r.conf, str(r)))
         return out

@@ -21,16 +21,27 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 from functools import cached_property
+from operator import attrgetter
+
+_SORT_KEY = attrgetter("sort_key")  # C-level key fn for the hot sorts
 
 
 # ---------------------------------------------------------------- intervals
 
 def span_of(intervals):
     """Smallest half-open interval covering all (start, end) pairs."""
-    its = list(intervals)
-    if not its:
-        return (0, 0)
-    return (min(i[0] for i in its), max(i[1] for i in its))
+    # single pass, no genexpr allocation: this runs ~25x per sentence
+    # inside the extraction UDF
+    lo = hi = None
+    for s, e in intervals:
+        if lo is None:
+            lo, hi = s, e
+        else:
+            if s < lo:
+                lo = s
+            if e > hi:
+                hi = e
+    return (0, 0) if lo is None else (lo, hi)
 
 
 def intersects(a, b):
@@ -75,7 +86,8 @@ class Node:
     __init__/__post_init__ chain costs ~20% of single-core throughput.
     Treat instances as immutable."""
 
-    __slots__ = ("text", "postag", "start", "end", "offset", "sort_key")
+    __slots__ = ("text", "postag", "start", "end", "offset", "sort_key",
+                 "indices", "_hash")
 
     def __init__(self, text, postag, start, end, offset=0):
         self.text = text
@@ -84,6 +96,11 @@ class Node:
         self.end = end          # one past the last token index covered
         self.offset = offset    # char offset in the source sentence
         self.sort_key = (start, end, text)
+        # precomputed: `indices` was a property allocating a fresh tuple
+        # per access (~100x per sentence in the extraction core) and
+        # Node hashing re-hashed the sort_key tuple per set/dict op
+        self.indices = (start, end)
+        self._hash = hash(self.sort_key)
 
     def __eq__(self, other):
         return (isinstance(other, Node)
@@ -92,15 +109,11 @@ class Node:
                 and self.offset == other.offset)
 
     def __hash__(self):
-        return hash(self.sort_key)
+        return self._hash
 
     def __repr__(self):
         return (f"Node({self.text!r}, {self.postag!r}, {self.start}, "
                 f"{self.end}, {self.offset})")
-
-    @property
-    def indices(self):
-        return (self.start, self.end)
 
     @property
     def is_proper_noun(self):
@@ -184,7 +197,7 @@ class DependencyGraph:
         seen = {}
         for n in list(nodes) + [n for e in edges for n in (e.src, e.dst)]:
             seen.setdefault(n.sort_key, n)
-        self.nodes = sorted(seen.values(), key=lambda n: n.sort_key)
+        self.nodes = sorted(seen.values(), key=_SORT_KEY)
         self.edges = list(edges)
         self._text = text
 
@@ -230,17 +243,19 @@ class DependencyGraph:
 
     @cached_property
     def _out(self):
-        out = {}
+        # one pass builds both directions (the first adjacency access
+        # plants the other side's cache too)
+        out, inc = {}, {}
         for e in self.edges:
             out.setdefault(e.src.sort_key, []).append(e)
+            inc.setdefault(e.dst.sort_key, []).append(e)
+        self.__dict__["_in"] = inc
         return out
 
     @cached_property
     def _in(self):
-        inc = {}
-        for e in self.edges:
-            inc.setdefault(e.dst.sort_key, []).append(e)
-        return inc
+        self._out  # builds and caches both sides
+        return self.__dict__["_in"]
 
     @cached_property
     def edge_labels(self):
@@ -309,7 +324,8 @@ class DependencyGraph:
         if not any(n.postag in _SIMPLIFY_POSTAG for n in self.nodes):
             return self
         def fix(n):
-            return n.with_postag(_SIMPLIFY_POSTAG.get(n.postag, n.postag))
+            t = _SIMPLIFY_POSTAG.get(n.postag)
+            return n if t is None else n.with_postag(t)
         return self._map_nodes(fix)
 
     def simplify_vb_postags(self) -> "DependencyGraph":
@@ -319,7 +335,14 @@ class DependencyGraph:
 
     def _map_nodes(self, fix):
         mapping = {n.sort_key: fix(n) for n in self.nodes}
-        edges = [Edge(e.label, mapping[e.src.sort_key], mapping[e.dst.sort_key])
+        if all(v is self.nodes[i] for i, v in enumerate(mapping.values())):
+            return self  # fixpoint: nothing to rebuild
+        # reuse untouched Edge objects — most transforms change few nodes
+        edges = [e if (mapping.get(e.src.sort_key, e.src) is e.src
+                       and mapping.get(e.dst.sort_key, e.dst) is e.dst)
+                 else Edge(e.label,
+                           mapping.get(e.src.sort_key, e.src),
+                           mapping.get(e.dst.sort_key, e.dst))
                  for e in self.edges]
         return DependencyGraph(mapping.values(), edges, text=self._text)
 
@@ -358,7 +381,7 @@ class DependencyGraph:
         for members in groups.values():
             if len(members) < 2:
                 continue
-            members.sort(key=lambda n: n.sort_key)
+            members.sort(key=_SORT_KEY)
             lo = min(n.start for n in members)
             hi = max(n.end for n in members)
             if hi - lo != sum(n.end - n.start for n in members):

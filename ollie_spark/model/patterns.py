@@ -61,14 +61,28 @@ class NodeMatcher:
     def trivial(self) -> bool:
         return self.postag is None and self.regex is None
 
+    @cached_property
+    def _regex_memo(self) -> dict:
+        # per-matcher token-text -> bool memo: the semantic-class
+        # regexes are huge alternations whose fullmatch dominates
+        # non-trivial node matching, and worker vocab repeats heavily.
+        # Bounded (cleared at 64k entries) so a web-scale worker can't
+        # grow it without limit.
+        return {}
+
     def matches(self, node: Node) -> bool:
-        if self.postag is None and self.regex is None:
-            return True
         if self.postag is not None and node.postag != self.postag:
             return False
-        if self.regex is not None and not self._compiled.fullmatch(
-                lemmatize(node.text)):
-            return False
+        if self.regex is not None:
+            memo = self._regex_memo
+            t = node.text
+            r = memo.get(t)
+            if r is None:
+                if len(memo) >= 65536:
+                    memo.clear()
+                r = self._compiled.fullmatch(lemmatize(t)) is not None
+                memo[t] = r
+            return r
         return True
 
     def serialize(self) -> str:
@@ -163,7 +177,8 @@ class Pattern:
     """A compiled dependency-path pattern."""
 
     __slots__ = ("matchers", "node_matchers", "edge_matchers", "source",
-                 "required_labels", "has_regex_edge")
+                 "required_labels", "has_regex_edge", "required_postags",
+                 "_steps")
 
     def __init__(self, matchers, source=None):
         self.matchers = list(matchers)
@@ -175,6 +190,21 @@ class Pattern:
             e.label for e in self.edge_matchers if e.label is not None)
         self.has_regex_edge = any(
             e.regex is not None for e in self.edge_matchers)
+        # exact postags every match needs (a {x:postag=VBD} matcher can
+        # only bind a VBD token) — checked against the sentence's
+        # postag set before any path enumeration
+        self.required_postags = frozenset(
+            m.postag for m in self.node_matchers if m.postag is not None)
+        # precomputed matcher-step tuples for the dfs hot loop: exact
+        # labels and trivial node matchers are the overwhelmingly common
+        # case in the learned model, and checking them inline avoids
+        # two method calls per candidate edge (the extraction core's
+        # hottest path; allocation/call volume bounds multi-core
+        # scaling)
+        self._steps = [
+            (em.direction == "down", em.label, em, nm,
+             nm.postag is None and nm.regex is None, nm.alias, em.alias)
+            for em, nm in zip(self.edge_matchers, self.node_matchers[1:])]
 
     @classmethod
     def deserialize(cls, s: str) -> "Pattern":
@@ -255,39 +285,47 @@ def match_pattern(pattern: Pattern, graph: DependencyGraph,
     (the reference's ``pattern.apply(graph, node)``).
     """
     matchers = pattern.matchers
+    steps = pattern._steps
+    nsteps = len(steps)
     first = matchers[0]
     results: list[Match] = []
+    out_map = graph._out
+    in_map = graph._in
+    _empty = ()
 
     def dfs(pos, node, node_groups, edge_groups, edges, path, used):
-        if pos == len(matchers):
+        if pos == nsteps:
             results.append(Match(dict(node_groups), dict(edge_groups),
                                  list(edges), list(path)))
             return
-        em: EdgeMatcher = matchers[pos]
-        nm: NodeMatcher = matchers[pos + 1]
-        cand = (graph.out_edges(node) if em.direction == "down"
-                else graph.in_edges(node))
-        for e in cand:
-            if id(e) in used or not em.matches_label(e.label):
+        down, label, em, nm, trivial, nm_alias, em_alias = steps[pos]
+        for e in (out_map.get(node.sort_key, _empty) if down
+                  else in_map.get(node.sort_key, _empty)):
+            if id(e) in used:
                 continue
-            far = e.dst if em.direction == "down" else e.src
-            if far.sort_key in path or not nm.matches(far):
+            if label is not None:
+                if e.label != label:
+                    continue
+            elif not em.matches_label(e.label):
                 continue
-            if nm.alias:
-                node_groups[nm.alias] = far
-            if em.alias:
-                edge_groups[em.alias] = em.captured_text(e.label)
+            far = e.dst if down else e.src
+            if far.sort_key in path or not (trivial or nm.matches(far)):
+                continue
+            if nm_alias:
+                node_groups[nm_alias] = far
+            if em_alias:
+                edge_groups[em_alias] = em.captured_text(e.label)
             used.add(id(e))
             path[far.sort_key] = far
             edges.append(e)
-            dfs(pos + 2, far, node_groups, edge_groups, edges, path, used)
+            dfs(pos + 1, far, node_groups, edge_groups, edges, path, used)
             edges.pop()
             del path[far.sort_key]
             used.discard(id(e))
-            if em.alias:
-                edge_groups.pop(em.alias, None)
-            if nm.alias:
-                node_groups.pop(nm.alias, None)
+            if em_alias:
+                edge_groups.pop(em_alias, None)
+            if nm_alias:
+                node_groups.pop(nm_alias, None)
 
     if start is not None:
         starts = [start]
@@ -304,9 +342,10 @@ def match_pattern(pattern: Pattern, graph: DependencyGraph,
                 starts.append(n)
     else:
         starts = graph.nodes
+    first_trivial = first.postag is None and first.regex is None
     for n in starts:
-        if not first.matches(n):
+        if not (first_trivial or first.matches(n)):
             continue
         ng = {first.alias: n} if first.alias else {}
-        dfs(1, n, ng, {}, [], {n.sort_key: n}, set())
+        dfs(0, n, ng, {}, [], {n.sort_key: n}, set())
     return results
