@@ -1,0 +1,234 @@
+"""R3 real-parser adapter (ollie_spark/parsers.py).
+
+The conversion core is duck-typed over the spaCy token surface, so
+these tests pin its semantics with fake tokens — no spaCy needed.  The
+final test drives a real spaCy pipeline end-to-end and skips cleanly
+when spaCy / en_core_web_sm is not installed (this container).
+"""
+
+import pickle
+
+import pytest
+
+from ollie_spark.parsers import SpacyParser, graph_from_doc
+
+
+class FakeTok:
+    __slots__ = ("text", "tag_", "i", "idx", "dep_", "head")
+
+    def __init__(self, text, tag, i, idx, dep):
+        self.text = text
+        self.tag_ = tag
+        self.i = i
+        self.idx = idx
+        self.dep_ = dep
+        self.head = self  # re-pointed by fake_doc
+
+
+class FakeDoc(list):
+    @property
+    def text(self):
+        return " ".join(t.text for t in self)
+
+
+def fake_doc(spec):
+    """spec: list of (text, tag, dep, head_index); head_index == own
+    index marks the root (spaCy convention: root.head is itself)."""
+    toks, off = [], 0
+    for i, (text, tag, dep, _h) in enumerate(spec):
+        toks.append(FakeTok(text, tag, i, off, dep))
+        off += len(text) + 1
+    for t, (_, _, _, h) in zip(toks, spec):
+        t.head = toks[h]
+    return FakeDoc(toks)
+
+
+def edge_set(g):
+    return {(e.label, e.src.start, e.dst.start) for e in g.edges}
+
+
+def test_matches_fixture_golden_parse():
+    """Converting a ClearNLP-style parse of a fixture sentence yields
+    the exact edge set of the repo's golden Stanford parse."""
+    from ollie_spark.graph import DependencyGraph
+    from ollie_spark.spark.synth import FIXTURE_PARSES
+
+    sent = "Juliette has a crush on Romeo ."
+    golden = DependencyGraph.deserialize(FIXTURE_PARSES[sent], text=sent)
+    doc = fake_doc([
+        ("Juliette", "NNP", "nsubj", 1),
+        ("has", "VBZ", "ROOT", 1),
+        ("a", "DT", "det", 3),
+        ("crush", "NN", "dobj", 1),
+        ("on", "IN", "prep", 3),
+        ("Romeo", "NNP", "pobj", 4),
+        (".", ".", "punct", 1),
+    ])
+    g = graph_from_doc(doc)
+    assert edge_set(g) == edge_set(golden)
+    # every token survives as a node (offsets are real char offsets)
+    assert [(n.text, n.postag, n.start) for n in g.nodes] \
+        == [(n.text, n.postag, n.start) for n in golden.nodes]
+    assert [n.offset for n in g.nodes] == [0, 9, 13, 15, 21, 24, 30]
+
+
+def test_conjunction_collapse_and_propagation():
+    # "He eats ham and eggs" -> conj_and + shared dobj (CCprocessed)
+    doc = fake_doc([
+        ("He", "PRP", "nsubj", 1),
+        ("eats", "VBZ", "ROOT", 1),
+        ("ham", "NN", "dobj", 1),
+        ("and", "CC", "cc", 2),
+        ("eggs", "NNS", "conj", 2),
+    ])
+    es = edge_set(graph_from_doc(doc))
+    assert ("conj_and", 2, 4) in es
+    assert ("dobj", 1, 2) in es and ("dobj", 1, 4) in es
+    assert not any(lab == "cc" for lab, _, _ in es)
+
+
+def test_passive_agent_collapses_onto_object():
+    # "It was eaten by cats" -> agent(eaten, cats), "by" standalone
+    doc = fake_doc([
+        ("It", "PRP", "nsubjpass", 2),
+        ("was", "VBD", "auxpass", 2),
+        ("eaten", "VBN", "ROOT", 2),
+        ("by", "IN", "agent", 2),
+        ("cats", "NNS", "pobj", 3),
+    ])
+    g = graph_from_doc(doc)
+    es = edge_set(g)
+    assert ("agent", 2, 4) in es
+    assert not any(lab == "pobj" for lab, _, _ in es)
+    assert any(n.text == "by" for n in g.nodes)
+
+
+def test_clearnlp_label_mapping():
+    # compound->nn, relcl->rcmod, case->possessive
+    doc = fake_doc([
+        ("Apple", "NNP", "compound", 1),
+        ("shares", "NNS", "nsubj", 2),
+        ("rose", "VBD", "ROOT", 2),
+    ])
+    assert ("nn", 1, 0) in edge_set(graph_from_doc(doc))
+    doc = fake_doc([
+        ("man", "NN", "ROOT", 0),
+        ("who", "WP", "nsubj", 2),
+        ("ran", "VBD", "relcl", 0),
+    ])
+    assert ("rcmod", 0, 2) in edge_set(graph_from_doc(doc))
+    doc = fake_doc([
+        ("John", "NNP", "poss", 2),
+        ("'s", "POS", "case", 0),
+        ("dog", "NN", "ROOT", 2),
+    ])
+    assert ("possessive", 0, 1) in edge_set(graph_from_doc(doc))
+
+
+def test_dative_split_by_tag():
+    # prepositional dative -> prep_to via collapse
+    doc = fake_doc([
+        ("gave", "VBD", "ROOT", 0),
+        ("it", "PRP", "dobj", 0),
+        ("to", "IN", "dative", 0),
+        ("him", "PRP", "pobj", 2),
+    ])
+    assert ("prep_to", 0, 3) in edge_set(graph_from_doc(doc))
+    # bare-noun dative -> iobj
+    doc = fake_doc([
+        ("gave", "VBD", "ROOT", 0),
+        ("him", "PRP", "dative", 0),
+        ("it", "PRP", "dobj", 0),
+    ])
+    assert ("iobj", 0, 1) in edge_set(graph_from_doc(doc))
+
+
+def test_acl_split_participial_vs_infinitival():
+    doc = fake_doc([
+        ("issues", "NNS", "ROOT", 0),
+        ("raised", "VBN", "acl", 0),
+    ])
+    assert ("partmod", 0, 1) in edge_set(graph_from_doc(doc))
+    doc = fake_doc([
+        ("plan", "NN", "ROOT", 0),
+        ("to", "TO", "aux", 2),
+        ("win", "VB", "acl", 0),
+    ])
+    assert ("infmod", 0, 2) in edge_set(graph_from_doc(doc))
+
+
+def test_temporal_npadvmod_becomes_tmod():
+    doc = fake_doc([
+        ("left", "VBD", "ROOT", 0),
+        ("yesterday", "NN", "npadvmod", 0),
+    ])
+    assert ("tmod", 0, 1) in edge_set(graph_from_doc(doc))
+    doc = fake_doc([
+        ("ran", "VBD", "ROOT", 0),
+        ("miles", "NNS", "npadvmod", 0),
+    ])
+    assert ("npadvmod", 0, 1) in edge_set(graph_from_doc(doc))
+
+
+def test_multi_sentence_doc_is_a_forest():
+    doc = fake_doc([
+        ("He", "PRP", "nsubj", 1),
+        ("ran", "VBD", "ROOT", 1),
+        (".", ".", "punct", 1),
+        ("She", "PRP", "nsubj", 4),
+        ("slept", "VBD", "ROOT", 4),
+        (".", ".", "punct", 4),
+    ])
+    g = graph_from_doc(doc)
+    assert edge_set(g) == {("nsubj", 1, 0), ("nsubj", 4, 3)}
+    assert len(g.nodes) == 6
+
+
+def test_adapter_output_feeds_the_extractor():
+    """End-to-end: a converted ClearNLP parse flows through the full
+    extraction core and yields the fixture sentence's triple."""
+    from ollie_spark.extract.ollie import Ollie
+
+    ollie = Ollie()
+
+    doc = fake_doc([
+        ("Juliette", "NNP", "nsubj", 1),
+        ("has", "VBZ", "ROOT", 1),
+        ("a", "DT", "det", 3),
+        ("crush", "NN", "dobj", 1),
+        ("on", "IN", "prep", 3),
+        ("Romeo", "NNP", "pobj", 4),
+        (".", ".", "punct", 1),
+    ])
+    exts = [str(e) for e in ollie.extract(graph_from_doc(doc))]
+    assert exts == ["(Juliette; has; a crush)"]
+    # extraction-equivalent to the repo's golden Stanford parse
+    from ollie_spark.graph import DependencyGraph
+    from ollie_spark.spark.synth import FIXTURE_PARSES
+
+    sent = "Juliette has a crush on Romeo ."
+    golden = DependencyGraph.deserialize(FIXTURE_PARSES[sent], text=sent)
+    assert exts == [str(e) for e in ollie.extract(golden)]
+
+
+def test_spacy_parser_is_picklable_and_tiny():
+    p = SpacyParser(model="en_core_web_sm", batch_size=32)
+    blob = pickle.dumps(p)
+    assert len(blob) < 500  # config only — no model weights
+    q = pickle.loads(blob)
+    assert (q.model, q.batch_size, q.exclude) \
+        == (p.model, p.batch_size, p.exclude)
+
+
+def test_spacy_integration():
+    """Real-spaCy integration: skipped cleanly when unavailable."""
+    pytest.importorskip("spacy")
+    from ollie_spark.parsers import spacy_available
+
+    if not spacy_available():
+        pytest.skip("en_core_web_sm not installed")
+    graphs = SpacyParser()(["Juliette has a crush on Romeo."])
+    assert len(graphs) == 1 and graphs[0] is not None
+    labels = {e.label for e in graphs[0].edges}
+    assert "nsubj" in labels and any(
+        lab.startswith("prep_") for lab in labels)
