@@ -45,7 +45,8 @@ def build_zip() -> Path:
     return out
 
 
-def run(cores: int, n_docs: int, pyfiles: Path, link: bool) -> dict:
+def run(cores: int, n_docs: int, pyfiles: Path, link: bool,
+        build_graph: bool = False) -> dict:
     cmd = [
         "taskset", "-c", f"0-{cores - 1}",
         "spark-submit",
@@ -57,7 +58,8 @@ def run(cores: int, n_docs: int, pyfiles: Path, link: bool) -> dict:
         "--py-files", str(pyfiles),
         str(ROOT / "scripts/extract_job.py"),
         "--n-docs", str(n_docs),
-    ] + (["--link"] if link else [])
+    ] + (["--link"] if link else []) \
+      + (["--build-graph", "--repeat", "2"] if build_graph else [])
     res = subprocess.run(cmd, capture_output=True, text=True,
                          env=dict(os.environ), cwd=str(ROOT),
                          timeout=3600)
@@ -73,7 +75,8 @@ def run(cores: int, n_docs: int, pyfiles: Path, link: bool) -> dict:
 
 
 def measure_pair(base: int, n_docs: int, pyfiles: Path,
-                 link: bool, rounds: int = 3) -> tuple[dict, dict, float]:
+                 link: bool, rounds: int = 3,
+                 build_graph: bool = False) -> tuple[dict, dict, float]:
     """Paired rounds, median efficiency.
 
     Each round runs the N and 4N legs back-to-back so they share
@@ -83,8 +86,8 @@ def measure_pair(base: int, n_docs: int, pyfiles: Path,
     lo, hi = base, base * 4
     outcomes = []
     for _ in range(rounds):
-        r_lo = run(lo, n_docs, pyfiles, link)
-        r_hi = run(hi, n_docs, pyfiles, link)
+        r_lo = run(lo, n_docs, pyfiles, link, build_graph)
+        r_hi = run(hi, n_docs, pyfiles, link, build_graph)
         outcomes.append(
             (r_hi["docs_per_sec"] / (4.0 * r_lo["docs_per_sec"]),
              r_lo, r_hi))
@@ -109,6 +112,8 @@ def main():
     ap.add_argument("--n-docs", type=int, default=60000)
     ap.add_argument("--base-cores", type=int, default=2)
     ap.add_argument("--secondary-base", type=int, default=4)
+    ap.add_argument("--full-job-docs", type=int, default=60000,
+                    help="corpus size for the full-job sample")
     ap.add_argument("--link", action="store_true")
     args = ap.parse_args()
 
@@ -117,6 +122,12 @@ def main():
                                      pyfiles, args.link)
     s_lo, s_hi, s_eff = measure_pair(args.secondary_base, args.n_docs,
                                      pyfiles, args.link)
+    # full-job sample (north_rule covers the pipeline, not just the
+    # extraction map stage): one paired round of job.build_graph
+    # (extract -> link -> materialize all stages) at the primary pair
+    f_lo, f_hi, f_eff = measure_pair(
+        args.base_cores, args.full_job_docs, pyfiles, link=False,
+        rounds=1, build_graph=True)
 
     ts = datetime.now(timezone.utc).isoformat(timespec="seconds")
     md = f"""# BENCH/BASELINE — measured scaling (ollie_spark)
@@ -138,6 +149,22 @@ triples per run: {p_lo['triples']}
 
 {table(args.secondary_base, s_lo, s_hi, s_eff)}
 
+## Full job (extract -> link -> materialize), N={args.base_cores} vs 4N={args.base_cores * 4}
+
+One paired round of `job.build_graph` — every pipeline stage
+(extraction, entity linking + canonicalization, n-ary rollup, bucketed
+materialization with manifests), identical n_buckets on both legs;
+wall time is the full-job wall (best of 2 in-session passes, so the
+data-independent codegen compile and python-worker startup are paid
+once, as on any long-lived production run).
+
+| config (taskset-pinned) | docs/s (full job) | job wall (s) | stage rows |
+|---|---|---|---|
+| {args.base_cores} cores  (N)  | {f_lo['docs_per_sec']} | {f_lo['job_sec']} | {f_lo['stage_rows']} |
+| {args.base_cores * 4} cores (4N) | {f_hi['docs_per_sec']} | {f_hi['job_sec']} | {f_hi['stage_rows']} |
+
+**Full-job scaling efficiency: {f_eff:.3f}** (target >= 0.8: {"PASS" if f_eff >= 0.8 else "FAIL"})
+
 Single-box caveat: all legs share one memory bus; per-core throughput
 rolls off with core count because the Arrow+python extraction stage is
 memory-bandwidth bound. On a real cluster 4N executors bring 4x the
@@ -150,6 +177,8 @@ primary N={json.dumps(p_lo)}
 primary 4N={json.dumps(p_hi)}
 secondary N={json.dumps(s_lo)}
 secondary 4N={json.dumps(s_hi)}
+fulljob N={json.dumps(f_lo)}
+fulljob 4N={json.dumps(f_hi)}
 """
     out = ROOT / "BENCH" / "BASELINE.md"
     out.write_text(md)
