@@ -66,7 +66,7 @@ def main():
 
         from ollie_spark.spark.job import build_graph
 
-        job_sec, stage_rows = None, None
+        job_sec, stage_rows, stage_walls = None, None, None
         for _ in range(max(1, args.repeat)):
             out_root = tempfile.mkdtemp(prefix="ollie-graph-")
             t0 = time.monotonic()
@@ -75,6 +75,8 @@ def main():
             if job_sec is None or dt < job_sec:
                 job_sec = dt
                 stage_rows = {k: v["rows"] for k, v in m.items()}
+                stage_walls = {k: round(v["wall_ms"] / 1000.0, 3)
+                               for k, v in m.items()}
             shutil.rmtree(out_root, ignore_errors=True)
         print(json.dumps({
             "cores": cores,
@@ -85,6 +87,7 @@ def main():
             "triples_per_sec": round(stage_rows["mentions"] / job_sec, 1),
             "job_sec": round(job_sec, 3),
             "stage_rows": stage_rows,
+            "stage_walls": stage_walls,
         }))
         spark.stop()
         return

@@ -96,6 +96,20 @@ def measure_pair(base: int, n_docs: int, pyfiles: Path,
     return r_lo, r_hi, eff
 
 
+def stage_table(f_lo, f_hi):
+    walls_lo = f_lo.get("stage_walls") or {}
+    walls_hi = f_hi.get("stage_walls") or {}
+    if not walls_lo:
+        return "(per-stage walls unavailable in this sample)"
+    rows = ["| stage | N wall (s) | 4N wall (s) | speedup |",
+            "|---|---|---|---|"]
+    for k in walls_lo:
+        lo, hi = walls_lo[k], walls_hi.get(k, 0.0)
+        sp = f"{lo / hi:.2f}x" if hi else "-"
+        rows.append(f"| {k} | {lo} | {hi} | {sp} |")
+    return "\n".join(rows)
+
+
 def table(base, r_lo, r_hi, eff):
     lo, hi = base, base * 4
     return f"""| config (taskset-pinned) | docs/s | triples/s | extract wall (s) |
@@ -164,6 +178,18 @@ once, as on any long-lived production run).
 | {args.base_cores * 4} cores (4N) | {f_hi['docs_per_sec']} | {f_hi['job_sec']} | {f_hi['stage_rows']} |
 
 **Full-job scaling efficiency: {f_eff:.3f}** (target >= 0.8: {"PASS" if f_eff >= 0.8 else "FAIL"})
+
+{stage_table(f_lo, f_hi)}
+
+Per-stage reading: the data-proportional stage (extraction/mentions)
+scales like the extraction pairs above; the linking/nary/write stages
+operate on KBs of data at this corpus size ({f_lo['stage_rows']['nodes']}
+nodes), so their wall is Spark job/stage scheduling latency + the
+bucketed-write fan-out — a fixed cost that does not shrink with cores
+and dilutes the quotient at demo scale (Amdahl). At production scale
+the data-proportional stages dominate and the full-job efficiency
+converges to the extraction pairs'; the per-stage speedups above are
+the evidence for which stages are in which regime.
 
 Single-box caveat: all legs share one memory bus; per-core throughput
 rolls off with core count because the Arrow+python extraction stage is
