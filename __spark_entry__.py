@@ -307,6 +307,21 @@ def q22_ann_multiprobe(spark, sf_dir):
             .orderBy("vec_a", "vec_b"))
 
 
+def q23_lang_id(spark, sf_dir):
+    """Marker-word language ID (ollie_spark.spark.textops.lang_id):
+    predicted-vs-stored language confusion counts.  The synthetic
+    corpus is English-like word soup under every stored tag, so the
+    prediction column is exercised for determinism here and for
+    correctness by the planted-multilingual unit test
+    (tests/test_textops_scale.py)."""
+    from ollie_spark.spark.textops import lang_id
+    d = _t(spark, sf_dir, "documents")
+    return (d.select("lang", lang_id(F.col("text")).alias("pred_lang"))
+            .groupBy("lang", "pred_lang")
+            .agg(F.count("*").alias("n"))
+            .orderBy("lang", "pred_lang"))
+
+
 def q20_monthly_order_trend(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     month = F.date_trunc("month", F.col("o_orderdate"))
@@ -419,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_monthly_order_trend": q20_monthly_order_trend,
         "q21_embedding_neardup": q21_embedding_neardup,
         "q22_ann_multiprobe": q22_ann_multiprobe,
+        "q23_lang_id": q23_lang_id,
         "kg_extract_mentions": kg_extract_mentions,
         "kg_graph_edges": kg_graph_edges,
         "kg_media_features": kg_media_features,
@@ -466,6 +482,9 @@ def oracle_sql() -> dict[str, str]:
     def _bit(i, flip=False):
         hi, lo = ("'0'", "'1'") if flip else ("'1'", "'0'")
         return f"(CASE WHEN emb[{i + 1}] >= 0 THEN {hi} ELSE {lo} END)"
+
+    from ollie_spark.spark.textops import lang_id_oracle_sql
+    _lang_case = lang_id_oracle_sql("text")
 
     base_cell = " || ".join(_bit(i) for i in range(4))
     # the vector's own cell + its 4 Hamming-1 flips (multi-probe set)
@@ -705,4 +724,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
                        AS revenue
             FROM orders GROUP BY month ORDER BY month""",
+        "q23_lang_id": f"""
+            SELECT lang, {_lang_case} AS pred_lang, COUNT(*) AS n
+            FROM documents
+            GROUP BY lang, pred_lang
+            ORDER BY lang, pred_lang""",
     }

@@ -220,6 +220,86 @@ def text_quality(docs: DataFrame) -> DataFrame:
         .otherwise(F.lit("low")).alias("quality"))
 
 
+# ------------------------------------------------------- language ID
+#
+# Marker-word language identification: per-language counts of
+# high-frequency function words (the classic n-gram/profile heuristic
+# reduced to unigram markers so the identical rule is expressible in
+# any SQL engine — the DuckDB oracle mirrors it term for term).  The
+# lexicons are public high-frequency function words; zh scores by CJK
+# codepoint count.  Deterministic earliest-argmax tie-break; "und"
+# (undetermined) when no marker fires.  At 100 TB this is a pure map —
+# whole-stage codegen, no shuffle, no UDF.
+LANG_MARKERS = (
+    ("en", ("the", "and", "of", "is", "in", "to", "that", "with")),
+    ("de", ("der", "die", "das", "und", "ist", "nicht", "ein", "mit")),
+    ("fr", ("le", "la", "les", "et", "est", "une", "dans", "pour")),
+    ("es", ("el", "los", "las", "es", "una", "por", "con", "como")),
+)
+CJK_RANGE = "一-鿿"
+
+
+def _marker_count_factory(markers):
+    # closure factory: binds THIS language's marker tuple (see the
+    # higher-order-function lambda pitfall in CLAUDE.md)
+    return lambda w: w.isin(*markers)
+
+
+def lang_scores(text_col):
+    """[(lang, score Column), ...] in deterministic priority order."""
+    words = F.split(F.lower(text_col), " ")
+    scores = [
+        (lang,
+         F.size(F.filter(words, _marker_count_factory(markers)))
+         .cast("long"))
+        for lang, markers in LANG_MARKERS]
+    scores.append(
+        ("zh", F.length(
+            F.regexp_replace(text_col, f"[^{CJK_RANGE}]", ""))
+         .cast("long")))
+    return scores
+
+
+def lang_id(text_col) -> Column:
+    """Predicted language code ('und' when no marker fires).
+
+    Earliest-argmax: the first language in LANG_MARKERS order (+ zh)
+    whose score is >= every later language's score and > 0 — a
+    deterministic rule both Spark and the SQL oracle express as the
+    same CASE chain."""
+    scores = lang_scores(text_col)
+    expr = F.lit("und")
+    # build the when-chain back to front so evaluation order matches
+    # the priority order
+    for i in range(len(scores) - 1, -1, -1):
+        lang, s = scores[i]
+        cond = s > 0
+        for _, s2 in scores[i + 1:]:
+            cond = cond & (s >= s2)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def lang_id_oracle_sql(text_expr: str = "text") -> str:
+    """The identical rule as portable SQL (DuckDB) — kept next to the
+    Spark expression so the two cannot drift."""
+    counts = []
+    for lang, markers in LANG_MARKERS:
+        inlist = ", ".join(f"'{m}'" for m in markers)
+        counts.append(
+            (lang,
+             f"len(list_filter(string_split(lower({text_expr}), ' '), "
+             f"w -> w IN ({inlist})))"))
+    counts.append(
+        ("zh",
+         f"length(regexp_replace({text_expr}, '[^{CJK_RANGE}]', '', 'g'))"))
+    cases = []
+    for i, (lang, s) in enumerate(counts):
+        conds = [f"{s} > 0"] + [f"{s} >= {s2}" for _, s2 in counts[i + 1:]]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(cases) + " ELSE 'und' END"
+
+
 def token_counts(text_col):
     """(whitespace tokens, BPE-ish subword estimate) columns."""
     words = F.split(text_col, " ")

@@ -209,3 +209,35 @@ def test_ngram_jaccard_tc_bucket_recovers_count_drift(spark):
     assert exact.count() == 0
     got = [(r.doc_a, r.doc_b, r.jaccard) for r in bucketed.collect()]
     assert got == [("x1", "x2", 1.0)]
+
+
+# --------------------------------------------------------- language ID
+
+def test_lang_id_identifies_planted_languages(spark):
+    """The synthetic corpus never exercises non-'en'/'und' predictions
+    (English-like word soup under every stored tag), so plant real
+    multilingual snippets and check the Spark expression AND the
+    generated DuckDB oracle CASE agree on every prediction."""
+    from ollie_spark.spark.textops import lang_id, lang_id_oracle_sql
+
+    rows = [
+        ("the cat and the dog is in to that with", "en"),
+        ("der hund und die katze ist nicht ein tier mit", "de"),
+        ("le chat et la maison est une dans pour les", "fr"),
+        ("el perro los gatos las casas es una por con como", "es"),
+        ("这是一个中文句子", "zh"),
+        ("zzz qqq xxx", "und"),
+        ("", "und"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "text string")
+    got = {r.text: r.pred for r in
+           df.select("text", lang_id(F.col("text")).alias("pred"))
+           .collect()}
+    assert got == {t: want for t, want in rows}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(t,) for t, _ in rows])
+    case = lang_id_oracle_sql("text")
+    oracle = dict(con.execute(f"SELECT text, {case} FROM t").fetchall())
+    assert oracle == got
