@@ -9,6 +9,7 @@ DataFrame rows.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 from ..graph import DependencyGraph
@@ -16,7 +17,7 @@ from ..model.loader import load_classifier, load_extractors
 from .build import (Attribution, DetailedExtraction, EnablingCondition,
                     OpenParse, OpenParseConfig, attribution,
                     enabling_condition)
-from .features import feature_names, feature_vector, ollie_confidence
+from .features import feature_names, feature_vector
 
 
 @dataclass(frozen=True)
@@ -60,7 +61,6 @@ class Ollie:
         self._weights_ordered = [self.weights[n] for n in self.feature_order]
 
     def extract(self, graph: DependencyGraph) -> list[OllieExtractionResult]:
-        import math as _math
         sgraph = self.openparse.simplify_graph(graph)
         out = []
         for op_conf, extr, extractor in self._extract_simplified(sgraph):
@@ -68,7 +68,7 @@ class Ollie:
             ordered = tuple(feats[n] for n in self.feature_order)
             z = self.intercept + sum(
                 w * f for w, f in zip(self._weights_ordered, ordered))
-            conf = 1.0 / (1.0 + _math.exp(-z))
+            conf = 1.0 / (1.0 + math.exp(-z))
             out.append(OllieExtractionResult(
                 arg1_text=extr.arg1.text,
                 rel_text=extr.rel.text,

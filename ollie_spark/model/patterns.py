@@ -203,7 +203,7 @@ class Pattern:
         # scaling)
         self._steps = [
             (em.direction == "down", em.label, em, nm,
-             nm.postag is None and nm.regex is None, nm.alias, em.alias)
+             nm.trivial, nm.alias, em.alias)
             for em, nm in zip(self.edge_matchers, self.node_matchers[1:])]
 
     @classmethod
@@ -342,7 +342,7 @@ def match_pattern(pattern: Pattern, graph: DependencyGraph,
                 starts.append(n)
     else:
         starts = graph.nodes
-    first_trivial = first.postag is None and first.regex is None
+    first_trivial = first.trivial
     for n in starts:
         if not (first_trivial or first.matches(n)):
             continue

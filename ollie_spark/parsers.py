@@ -116,9 +116,9 @@ def graph_from_doc(doc) -> DependencyGraph:
         if t.dep_ in _DROP_LABELS or t.head.i == t.i:
             continue
         raw.append((t.dep_, t.head.i, t.i))
-        children.setdefault(t.head.i, []).append((t.tag_, t.i))
+        children.setdefault(t.head.i, []).append(t.i)
     child_tags = {
-        i: [(nodes[ci].postag, nodes[ci].text) for _, ci in kids]
+        i: [(nodes[ci].postag, nodes[ci].text) for ci in kids]
         for i, kids in children.items()}
 
     edges = []
@@ -138,8 +138,7 @@ def graph_from_doc(doc) -> DependencyGraph:
         if (lab, h, d) in consumed:
             continue
         mapped = _map_label(
-            lab, nodes[d].postag, nodes[d].text,
-            [(tag, text) for tag, text in child_tags.get(d, [])])
+            lab, nodes[d].postag, nodes[d].text, child_tags.get(d, []))
         edges.append(Edge(mapped, nodes[h], nodes[d]))
     g = DependencyGraph(
         nodes.values(), edges,
