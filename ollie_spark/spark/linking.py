@@ -208,10 +208,17 @@ def connected_components(pairs: DataFrame, vertices: DataFrame,
                 x = parent[x]
             return x
 
-        for r in pairs.select("norm_a", "norm_b").collect():
-            for v in (r.norm_a, r.norm_b):
+        # collect off the CHECKPOINTED symmetric set, not the lazy
+        # `pairs` plan — collecting `pairs` would re-run the whole
+        # LSH candidate generation (minhash + band self-join), doubling
+        # the most expensive stage of every canonicalize() call.
+        # Union-find is direction/order-insensitive, so either edge
+        # orientation works; take each undirected edge once.
+        for r in (sym.where(F.col("src") < F.col("dst"))
+                  .select("src", "dst").collect()):
+            for v in (r.src, r.dst):
                 parent.setdefault(v, v)
-            ra, rb = find(r.norm_a), find(r.norm_b)
+            ra, rb = find(r.src), find(r.dst)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         rows = [(v, find(v)) for v in parent]
