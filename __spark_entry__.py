@@ -314,9 +314,9 @@ def q23_lang_id(spark, sf_dir):
     prediction column is exercised for determinism here and for
     correctness by the planted-multilingual unit test
     (tests/test_textops_scale.py)."""
-    from ollie_spark.spark.textops import lang_id
+    from ollie_spark.spark.textops import with_lang_id
     d = _t(spark, sf_dir, "documents")
-    return (d.select("lang", lang_id(F.col("text")).alias("pred_lang"))
+    return (with_lang_id(d.select("lang", "text"))
             .groupBy("lang", "pred_lang")
             .agg(F.count("*").alias("n"))
             .orderBy("lang", "pred_lang"))

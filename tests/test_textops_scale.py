@@ -235,6 +235,12 @@ def test_lang_id_identifies_planted_languages(spark):
            .collect()}
     assert got == {t: want for t, want in rows}
 
+    # score-once projection shape (the table-scale path) agrees
+    from ollie_spark.spark.textops import with_lang_id
+    got2 = {r.text: r.pred_lang
+            for r in with_lang_id(df).collect()}
+    assert got2 == got
+
     con = duckdb.connect()
     con.execute("CREATE TABLE t (text VARCHAR)")
     con.executemany("INSERT INTO t VALUES (?)", [(t,) for t, _ in rows])
