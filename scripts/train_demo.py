@@ -68,7 +68,7 @@ def main():
     from ollie_spark.bootstrap.stages import (generalize_templates,
                                               load_categories)
 
-    n_seeds_per = 200
+    n_seeds_per = 400
     seeds = spark.createDataFrame(seed_rows(n_seeds_per), SEED_SCHEMA)
     base_rows = train_model(seeds, max_length=4, min_common=5,
                             min_diverse=2).collect()
@@ -81,7 +81,7 @@ def main():
                           slot_min_count=2)
     full_rows = generalize_templates(full_df, load_categories()).collect()
 
-    n_docs = 2000
+    n_docs = 5000
     docs = corpus(spark, n_docs, seed=1234, partitions=32)
     sents = sentences(docs)
 
