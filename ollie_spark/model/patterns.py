@@ -50,6 +50,22 @@ class NodeMatcher:
         # pruned by the feasibility prefilter before ever matching
         return re.compile(self.regex) if self.regex is not None else None
 
+    @cached_property
+    def _literal_set(self):
+        # every semantic-class regex in the shipped model is a PURE
+        # literal alternation (only word chars / space / hyphen /
+        # apostrophe between '|'s), so fullmatch(s) == membership in
+        # the alternative set.  frozenset construction is ~1000x
+        # cheaper than re.compile of a 64 KB alternation — which
+        # otherwise costs every fresh python worker ~2s at import
+        # storm — and lookup beats fullmatch.  Anything with a real
+        # metacharacter falls back to re (_compiled stays lazy and is
+        # then never built for literal matchers).
+        if self.regex is not None \
+                and re.fullmatch(r"[\w|' \-]+", self.regex):
+            return frozenset(self.regex.split("|"))
+        return None
+
     @property
     def kind(self) -> str | None:
         if self.alias is None:
@@ -80,7 +96,10 @@ class NodeMatcher:
             if r is None:
                 if len(memo) >= 65536:
                     memo.clear()
-                r = self._compiled.fullmatch(lemmatize(t)) is not None
+                lem = lemmatize(t)
+                lit = self._literal_set
+                r = (lem in lit) if lit is not None \
+                    else self._compiled.fullmatch(lem) is not None
                 memo[t] = r
             return r
         return True

@@ -78,3 +78,29 @@ def test_attribution(ollie):
     texts = {str(r) for r in results}
     assert any("Barack Obama" in t and "born in; the United States" in t
                and "attrib=Some people say" in t for t in texts), texts
+
+
+def test_literal_set_vs_regex_fallback():
+    """Pure-alternation semantic-class matchers take the frozenset
+    path (fullmatch == membership); real metacharacters fall back to
+    re. Every matcher in the shipped model is a pure alternation."""
+    from ollie_spark.graph import Node
+    from ollie_spark.model.loader import load_extractors
+    from ollie_spark.model.patterns import NodeMatcher
+
+    lit = NodeMatcher(alias=None, postag=None, regex="cat|dog|ice cream")
+    assert lit._literal_set == {"cat", "dog", "ice cream"}
+    assert lit.matches(Node("dog", "NN", 0, 1))
+    assert lit.matches(Node("ice cream", "NN", 0, 2))
+    assert not lit.matches(Node("catfish", "NN", 0, 1))
+
+    rex = NodeMatcher(alias=None, postag=None, regex="cat.*|dog")
+    assert rex._literal_set is None
+    assert rex.matches(Node("catfish", "NN", 0, 1))
+    assert not rex.matches(Node("fish", "NN", 0, 1))
+
+    n_fallback = sum(
+        1 for e in load_extractors()
+        for nm in e.pattern.node_matchers
+        if nm.regex is not None and nm._literal_set is None)
+    assert n_fallback == 0
