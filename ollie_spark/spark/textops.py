@@ -83,6 +83,14 @@ def minhash_band_pairs(docs: DataFrame, id_col: str = "doc_id",
         sized = banded.withColumn(
             "_n", F.count("*").over(Window.partitionBy("band_key")))
         banded = sized.where(F.col("_n") <= max_bucket).drop("_n")
+    # materialize ONCE before self-joining: aliasing the lazy plan as
+    # both sides makes Spark compute the minhash signature pipeline
+    # (and re-scan the source) independently per side — at web scale
+    # the signature map dominates the dedup stage, so that doubles it.
+    # Same discipline as linking.connected_components' checkpointed
+    # edge set; on a multi-executor cluster with executor churn,
+    # persist(MEMORY_AND_DISK) + count is the fault-tolerant spelling.
+    banded = banded.localCheckpoint(eager=True)
     a, b = banded.alias("a"), banded.alias("b")
     return (a.join(b, "band_key")
             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -103,19 +111,30 @@ def minhash_dropped_bands(docs: DataFrame, id_col: str = "doc_id",
 
 def simhash16(text_col) -> Column:
     """16-bit SimHash string from md5-nibble sign bits over distinct
-    words."""
-    words = F.array_distinct(F.split(text_col, " "))
+    words.
 
-    def bit_sum(i):
-        return lambda acc, w: acc + F.when(
-            F.substring(F.md5(w), i + 1, 1)
-            .isin("8", "9", "a", "b", "c", "d", "e", "f"),
-            F.lit(1)).otherwise(F.lit(-1))
-
-    return F.concat(*[
-        F.when(F.aggregate(words, F.lit(0), bit_sum(i)) >= 0,
-               F.lit("1")).otherwise(F.lit("0"))
-        for i in range(16)])
+    ONE aggregate pass accumulates all 16 bit counters (the linking
+    minhash fold discipline, ``linking.minhash_signature``): words are
+    md5-hashed once in a ``transform`` pre-pass, the per-bit +/-1 sums
+    accumulate in a 16-slot array, and the ``finish`` lambda folds the
+    counters to the bit string — so the accumulator is referenced, not
+    recomputed, per bit.  Identical bit values to the former 16-pass
+    form (one ``F.aggregate`` per bit, md5 recomputed per word per
+    bit), with ~16x less per-row work and a far smaller codegen tree.
+    """
+    high = ("8", "9", "a", "b", "c", "d", "e", "f")
+    hashes = F.transform(F.array_distinct(F.split(text_col, " ")),
+                         lambda w: F.md5(w))
+    zeros = F.array(*[F.lit(0) for _ in range(16)])
+    return F.aggregate(
+        hashes, zeros,
+        lambda acc, h: F.array(*[
+            acc[i] + F.when(F.substring(h, i + 1, 1).isin(*high),
+                            F.lit(1)).otherwise(F.lit(-1))
+            for i in range(16)]),
+        lambda acc: F.concat(*[
+            F.when(acc[i] >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(16)]))
 
 
 def token_jaccard(toks_a, toks_b) -> Column:
@@ -165,6 +184,10 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
         sized = base.withColumn(
             "_n", F.count("*").over(Window.partitionBy(*key_cols)))
         base = sized.where(F.col("_n") <= max_block).drop("_n")
+    # one tokenization/source-scan for both join sides (see
+    # minhash_band_pairs): the probe side derives from the same
+    # checkpointed frame, so the distinct-token arrays are computed once
+    base = base.localCheckpoint(eager=True)
     if tc_bucket is None:
         a, b = base.alias("a"), base.alias("b")
         cond = (F.col("a.tc") == F.col("b.tc")) \

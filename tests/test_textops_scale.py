@@ -211,6 +211,44 @@ def test_ngram_jaccard_tc_bucket_recovers_count_drift(spark):
     assert got == [("x1", "x2", 1.0)]
 
 
+# ----------------------------------------------------------- simhash
+
+def test_simhash16_fold_matches_legacy_per_bit_form(spark):
+    """The one-pass folded simhash16 (array accumulator, one md5 per
+    word, finish lambda) must emit bit-identical strings to the
+    original 16-aggregate-pass form it replaced (r4 perf fold)."""
+    from ollie_spark.spark.textops import simhash16
+
+    def legacy(text_col):
+        words = F.array_distinct(F.split(text_col, " "))
+
+        def bit_sum(i):
+            return lambda acc, w: acc + F.when(
+                F.substring(F.md5(w), i + 1, 1)
+                .isin("8", "9", "a", "b", "c", "d", "e", "f"),
+                F.lit(1)).otherwise(F.lit(-1))
+
+        return F.concat(*[
+            F.when(F.aggregate(words, F.lit(0), bit_sum(i)) >= 0,
+                   F.lit("1")).otherwise(F.lit("0"))
+            for i in range(16)])
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "lorem ipsum dolor sit amet",
+             "single",
+             "",
+             "repeat repeat repeat distinct words collapse",
+             "α β γ unicode tokens too"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(
+        "text",
+        simhash16(F.col("text")).alias("new"),
+        legacy(F.col("text")).alias("old")).collect()
+    for r in rows:
+        assert r.new == r.old, f"simhash drift on {r.text!r}"
+        assert len(r.new) == 16 and set(r.new) <= {"0", "1"}
+
+
 # --------------------------------------------------------- language ID
 
 def test_lang_id_identifies_planted_languages(spark):
