@@ -118,6 +118,13 @@ def lsh_candidate_pairs(entities: DataFrame, num_hashes: int = 16,
     sized = banded.withColumn(
         "bucket_n", F.count("*").over(Window.partitionBy("band_key")))
     kept = sized.where(F.col("bucket_n") <= max_bucket).drop("bucket_n")
+    # materialize the capped banded frame ONCE: aliasing the lazy plan
+    # as both self-join sides re-runs the whole minhash signature
+    # pipeline per side (the dominant cost of canonicalize's blocking
+    # stage).  Same checkpoint discipline as connected_components; on a
+    # real cluster persist(MEMORY_AND_DISK) + count is the
+    # executor-loss-tolerant spelling.
+    kept = kept.localCheckpoint(eager=True)
     a = kept.alias("a")
     b = kept.alias("b")
     pairs = (a.join(b, "band_key")
@@ -156,6 +163,24 @@ def dropped_buckets(entities: DataFrame, num_hashes: int = 16,
         for b in range(bands)])).alias("band_key"))
     return (banded.groupBy("band_key").count()
             .where(F.col("count") > max_bucket).count())
+
+
+def _frame_sig(df: DataFrame, cols) -> tuple:
+    """Probabilistic row-set equality signature: (count, sum of
+    xxhash64(cols), sum of independently-seeded xxhash64(cols, 1)) in
+    ONE agg job.  Two distinct row sets collide only if BOTH 64-bit
+    hash SUMS agree under independent seeds — a structured value swap
+    that preserves one sum perturbs the other, so collisions are
+    implausible even at web-scale row counts (the check remains
+    probabilistic, not exact).  decimal(38,0) keeps the sums exact
+    (and ANSI-safe) at any row count."""
+    cs = [F.col(c) for c in cols]
+    r = df.agg(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64(*cs).cast("decimal(38,0)")).alias("h1"),
+        F.sum(F.xxhash64(*cs, F.lit(1)).cast("decimal(38,0)")).alias("h2")
+    ).first()
+    return (r["n"], r["h1"], r["h2"])
 
 
 def connected_components(pairs: DataFrame, vertices: DataFrame,
@@ -200,7 +225,12 @@ def connected_components(pairs: DataFrame, vertices: DataFrame,
     if n_pairs == 0:
         return isolated
     if n_pairs <= local_threshold:
-        parent = {}
+        # seed parent from EVERY connected vertex, not just endpoints of
+        # src < dst edges: a vertex whose only pair is a self-pair
+        # (norm_a == norm_b) appears in connected_verts (so it is not
+        # `isolated`) yet has no src < dst edge — without the seed it
+        # would get no component row at all.
+        parent = {r.norm: r.norm for r in connected_verts.collect()}
 
         def find(x):
             while parent[x] != x:
@@ -216,8 +246,6 @@ def connected_components(pairs: DataFrame, vertices: DataFrame,
         # orientation works; take each undirected edge once.
         for r in (sym.where(F.col("src") < F.col("dst"))
                   .select("src", "dst").collect()):
-            for v in (r.src, r.dst):
-                parent.setdefault(v, v)
             ra, rb = find(r.src), find(r.dst)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
@@ -231,7 +259,13 @@ def connected_components(pairs: DataFrame, vertices: DataFrame,
 
     labels = connected_verts.select(
         "norm", F.col("norm").alias("component"))
-    changed = 0
+    # convergence probe: the vertex set is fixed, so the label frame
+    # changed iff its (count, hash-sum, hash-sum') signature moved —
+    # ONE agg job per round instead of a join + count (the same
+    # probabilistic probe _star_components uses; see _frame_sig for
+    # the collision argument).
+    sig = _frame_sig(labels, ("norm", "component"))
+    changed = True
     for _ in range(max_iter):
         nbr = (sym.join(labels, sym.dst == labels.norm)
                .groupBy("src").agg(F.min("component").alias("nbr_min")))
@@ -241,14 +275,12 @@ def connected_components(pairs: DataFrame, vertices: DataFrame,
                                F.coalesce("nbr_min", F.col("component")))
                        .alias("component")))
         new = new.localCheckpoint(eager=True)
-        changed = (new.alias("n")
-                   .join(labels.alias("o"), "norm")
-                   .where(F.col("n.component") != F.col("o.component"))
-                   .limit(1).count())
-        labels = new
-        if changed == 0:
+        new_sig = _frame_sig(new, ("norm", "component"))
+        changed = new_sig != sig
+        labels, sig = new, new_sig
+        if not changed:
             break
-    if changed != 0:
+    if changed:
         import warnings
         warnings.warn(
             f"connected_components: min-label loop exhausted "
@@ -280,15 +312,11 @@ def _star_components(sym: DataFrame, max_iter: int = 50) -> DataFrame:
                                       F.col("u").alias("v")))
 
     def _edge_sig(e):
-        # distinct edge sets are equal iff (count, hash-sum) agree —
-        # one agg job instead of two exceptAll probes per round; a
-        # collision needs two distinct sets with identical 64-bit hash
-        # SUMS, vanishing even at web-scale edge counts.  decimal(38,0)
-        # keeps the sum exact (and ANSI-safe) at any edge count.
-        r = e.agg(F.count("*").alias("n"),
-                  F.sum(F.xxhash64("u", "v").cast("decimal(38,0)"))
-                  .alias("h")).first()
-        return (r["n"], r["h"])
+        # probabilistic convergence probe (see _frame_sig): distinct
+        # edge sets are treated equal iff count AND two independently
+        # seeded hash sums agree — one agg job instead of two exceptAll
+        # probes per round.
+        return _frame_sig(e, ("u", "v"))
 
     sig = _edge_sig(edges)
     converged = False
@@ -327,7 +355,8 @@ def _star_components(sym: DataFrame, max_iter: int = 50) -> DataFrame:
         import warnings
         warnings.warn(
             f"_star_components: loop exhausted max_iter={max_iter} "
-            f"before the edge set stabilized — components may be "
+            f"before the edge set stabilized (probabilistic "
+            f"hash-signature stability probe) — components may be "
             f"split; raise max_iter", RuntimeWarning, stacklevel=2)
     # at convergence every non-root hangs directly off its component
     # min; roots are vertices that never appear as a 'u'

@@ -62,6 +62,42 @@ def test_connected_components(spark):
     assert comp["solo"] == "solo"
 
 
+def test_connected_components_self_pair_vertex_gets_row(spark):
+    """A degenerate self-pair (norm_a == norm_b) vertex is in the
+    connected set (so not `isolated`) but has no src < dst edge — the
+    union-find escape hatch must still emit a component row for it
+    (r4 ADVICE fix: parent seeded from every connected vertex)."""
+    pairs = spark.createDataFrame(
+        [("loop", "loop"), ("a", "b")], "norm_a string, norm_b string")
+    verts = spark.createDataFrame(
+        [("loop",), ("a",), ("b",), ("solo",)], "norm string")
+    comp = {r.norm: r.component
+            for r in connected_components(pairs, verts).collect()}
+    assert comp == {"loop": "loop", "a": "a", "b": "a", "solo": "solo"}
+
+
+def test_frame_sig_probe_detects_label_change(spark):
+    """The (count, hash-sum, hash-sum') convergence probe must move
+    when any label changes — including a structured swap of component
+    values between two rows, the collision shape a single hash SUM is
+    weakest against — and be stable across row order/partitioning."""
+    from ollie_spark.spark.linking import _frame_sig
+    base = [("a", "a"), ("b", "a"), ("c", "c")]
+    one_change = [("a", "a"), ("b", "b"), ("c", "c")]
+    swapped = [("a", "c"), ("b", "a"), ("c", "a")]  # multiset of labels kept
+    schema = "norm string, component string"
+    sig = _frame_sig(spark.createDataFrame(base, schema),
+                     ("norm", "component"))
+    reordered = _frame_sig(
+        spark.createDataFrame(list(reversed(base)), schema).repartition(3),
+        ("norm", "component"))
+    assert sig == reordered
+    assert _frame_sig(spark.createDataFrame(one_change, schema),
+                      ("norm", "component")) != sig
+    assert _frame_sig(spark.createDataFrame(swapped, schema),
+                      ("norm", "component")) != sig
+
+
 def test_star_components_agree_with_min_label(spark):
     """Property: large-star/small-star and min-label produce the same
     partition into components on random graphs (including a long chain,
