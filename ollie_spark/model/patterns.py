@@ -32,6 +32,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 from functools import cached_property
+from itertools import islice
 
 from ..graph import DependencyGraph, Edge, Node
 from .lemmatizer import lemmatize
@@ -82,8 +83,11 @@ class NodeMatcher:
         # per-matcher token-text -> bool memo: the semantic-class
         # regexes are huge alternations whose fullmatch dominates
         # non-trivial node matching, and worker vocab repeats heavily.
-        # Bounded (cleared at 64k entries) so a web-scale worker can't
-        # grow it without limit.
+        # Bounded (halved at 64k entries) so a web-scale worker can't
+        # grow it without limit.  Keyed by RAW token text while the
+        # result depends on lemmatize(text) — sound because lemmatize
+        # is a pure function of its argument (suffix rules + frozen
+        # exception table, no state).
         return {}
 
     def matches(self, node: Node) -> bool:
@@ -95,7 +99,11 @@ class NodeMatcher:
             r = memo.get(t)
             if r is None:
                 if len(memo) >= 65536:
-                    memo.clear()
+                    # evict the oldest half (dict preserves insertion
+                    # order) instead of clearing: no periodic full
+                    # recompute spike on high-vocabulary corpora
+                    for k in list(islice(iter(memo), len(memo) // 2)):
+                        del memo[k]
                 lem = lemmatize(t)
                 lit = self._literal_set
                 r = (lem in lit) if lit is not None \

@@ -235,8 +235,15 @@ def _extraction_stage(rows_df: DataFrame, batch_graphs) -> DataFrame:
                     next(graphs_iter)
                 except StopIteration:
                     pass
-                except Exception:  # noqa: BLE001 — probe must not raise
-                    pass
+                except Exception as e:  # noqa: BLE001 — probe must not
+                    # raise, but a parser erroring right after the last
+                    # graph is a batch failure, not perfect alignment —
+                    # surface it like every other shielded parser error
+                    emit(pdf["doc_id"].iloc[-1], pdf["span_idx"].iloc[-1],
+                         int(pdf["sent_idx"].iloc[-1])
+                         if "sent_idx" in pdf.columns else 0,
+                         error=f"parser batch failure: "
+                               f"{type(e).__name__}: {e}")
                 else:
                     emit(pdf["doc_id"].iloc[-1], pdf["span_idx"].iloc[-1],
                          int(pdf["sent_idx"].iloc[-1])

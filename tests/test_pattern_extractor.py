@@ -238,3 +238,25 @@ class TestExpansion:
                       "{arg1} >appos> {rel:postag=NN} >{prep:regex=prep_(.*)}> {arg2}")
         got = triples(ex, GOSLING)
         assert "(Sam Gosling; be an associate professor of; psychology)" in got
+
+
+class TestRegexMemoEviction:
+    def test_memo_evicts_half_not_all(self):
+        """At the 64k bound the memo drops its oldest half (no periodic
+        full-recompute spike) and stays correct afterwards."""
+        from ollie_spark.model.patterns import NodeMatcher
+        from ollie_spark.graph import Node
+
+        m = NodeMatcher(alias="slot", regex="tok[0-9]+x?")
+        cap = 65536
+        for i in range(cap):
+            assert m.matches(Node(f"tok{i}", "NN", i, 0))
+        assert len(m._regex_memo) == cap
+        # the next MISS triggers eviction of the oldest half, then
+        # inserts the new entry
+        assert not m.matches(Node("zzz-miss", "NN", 0, 0))
+        assert len(m._regex_memo) == cap // 2 + 1
+        assert "tok0" not in m._regex_memo          # oldest half gone
+        assert f"tok{cap - 1}" in m._regex_memo     # newest half kept
+        # evicted entries recompute correctly
+        assert m.matches(Node("tok0", "NN", 0, 0))

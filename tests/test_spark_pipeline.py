@@ -257,6 +257,27 @@ def test_parser_extra_graphs_flagged(spark):
     assert any("extra graphs" in e for e in errs), errs
 
 
+def test_parser_error_after_last_graph_flagged(spark):
+    """A streaming parser that errors immediately AFTER yielding the
+    last graph must be reported as a batch failure by the alignment
+    probe, not silently counted as perfectly aligned (r4 ADVICE fix)."""
+    from ollie_spark.spark.pipeline import extract_mentions, sentences
+
+    def trailing_error_parser(texts):
+        def gen():
+            for _ in texts:
+                yield None
+            raise RuntimeError("stream died after last graph")
+        return gen()
+
+    docs = spark.createDataFrame(
+        [("t-0", [("text", "Anything at all .", None, 0)])],
+        schema=docs_schema())
+    raw = extract_mentions(sentences(docs), parser=trailing_error_parser)
+    errs = [r.error for r in raw.collect() if r.error is not None]
+    assert any("parser batch failure: RuntimeError" in e for e in errs), errs
+
+
 def test_sent_idx_propagated_through_segmentation(spark):
     """Composing R2 upstream must keep sentence provenance: mentions
     from different sentences of one span carry distinct sent_idx."""
