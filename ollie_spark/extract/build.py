@@ -143,21 +143,27 @@ def from_match(graph: DependencyGraph, m: Match, pattern: Pattern,
     else:
         rel_parts = [Part.of(rels)]
 
-    out = []
+    # loop-invariant hoists: the arg spans (and so the overlap veto)
+    # and the advcl modifier don't depend on the rel_part combo — the
+    # old per-combo recompute changed nothing but wasted the clausal/
+    # modifier searches on extractions the overlap check then dropped
     arg1_span = span_of(n.indices for n in e_arg1)
     arg2_span = span_of(n.indices for n in e_arg2)
+    if intersects(arg1_span, arg2_span):
+        return []
+    modifier = next((c for c in (
+        _adverbial_modifier(graph, rel) for rel in rels)
+        if c is not None), None)
+    arg_nodes = set(e_arg1) | set(e_arg2)
+    a1, a2 = Part.of(e_arg1), Part.of(e_arg2)
+    out = []
     for rel_part in rel_parts:
-        all_nodes = set(e_arg1) | set(e_arg2) | set(rel_part.nodes)
+        all_nodes = arg_nodes | set(rel_part.nodes)
         clausal = next((c for c in (
             _clausal_component(graph, rel, all_nodes) for rel in rels)
             if c is not None), None)
-        modifier = next((c for c in (
-            _adverbial_modifier(graph, rel) for rel in rels)
-            if c is not None), None)
-        if intersects(arg1_span, arg2_span):
-            continue
         out.append(DetailedExtraction(
-            Part.of(e_arg1), rel_part, Part.of(e_arg2),
+            a1, rel_part, a2,
             match=m, pattern=pattern, clausal=clausal, modifier=modifier))
     return out
 
