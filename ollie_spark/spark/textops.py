@@ -41,29 +41,72 @@ DEFAULT_MAX_JACCARD_BLOCK = 256
 
 
 def word_shingles(text_col, n: int = 3) -> Column:
-    words = F.split(text_col, " ")
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    """Array of n-word shingles.
+
+    The word array is LET-BOUND via a single-element array transform so
+    the per-position lambda references it as a lambda variable (cheap)
+    instead of embedding the ``split`` subtree — an embedded subtree is
+    re-evaluated per sequence element, which made shingling O(len^2)
+    in document length (measured 4x wall per doubling at 1-4 KB docs;
+    a silent scale-killer for the minhash/fingerprint ops on real
+    web-scale documents)."""
+    def shingles(ws):
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)))
+
+    return F.element_at(
+        F.transform(F.array(F.split(text_col, " ")), shingles), 1)
+
+
+def minhash_sig(text_col, seeds=MINHASH_SEEDS, shingle_n: int = 3) -> Column:
+    """``array<string>`` of per-seed md5-minhashes in ONE aggregate
+    pass over the shingle array (the linking minhash-fold discipline,
+    linking.py:minhash_signature): the accumulator holds the running
+    per-seed lexicographic minima, each shingle contributes its
+    len(seeds) seeded digests via zip_with/least.  Identical values to
+    the per-seed ``array_min(transform(...))`` form it replaced, but
+    the shingle array — the expensive part — is walked once instead of
+    once per seed.  The init sentinel 'g' sorts above every hex digest,
+    and the shingle array is never empty (split of '' yields [''])."""
+    sh = word_shingles(text_col, shingle_n)
+    init = F.array(*[F.lit("g") for _ in seeds])
+    return F.aggregate(
+        sh, init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.md5(F.concat(s, F.lit(f"#{seed}")))
+                      for seed in seeds]),
+            lambda a, h: F.least(a, h)))
 
 
 def minhash_cols(text_col, seeds=MINHASH_SEEDS, shingle_n: int = 3):
-    """One md5-minhash column per seed (portable across engines)."""
-    sh = word_shingles(text_col, shingle_n)
+    """One md5-minhash column per seed (portable across engines).
 
-    def h(seed):
-        return F.array_min(F.transform(
-            sh, lambda s: F.md5(F.concat(s, F.lit(f"#{seed}")))))
-
-    return [h(s).alias(f"mh{k}") for k, s in enumerate(seeds)]
+    NB: selecting several of these in ONE projection inlines the
+    ``minhash_sig`` aggregate per column (the Catalyst CSE trap) —
+    for table-scale use, alias :func:`minhash_sig` once in its own
+    projection and ``element_at`` it, as ``_minhash_banded`` does."""
+    sig = minhash_sig(text_col, seeds, shingle_n)
+    return [F.element_at(sig, k + 1).alias(f"mh{k}")
+            for k in range(len(seeds))]
 
 
 def _minhash_banded(docs: DataFrame, id_col: str,
                     text_col: str) -> DataFrame:
-    d = docs.select(id_col, *minhash_cols(F.col(text_col)))
-    b1 = d.select(id_col, F.concat_ws("|", "mh0", "mh1").alias("band_key"))
-    b2 = d.select(id_col, F.concat_ws("|", "mh2", "mh3").alias("band_key"))
-    return b1.unionByName(b2)
+    # signature lands in its own projection and the band keys reference
+    # it as a column, then ONE explode emits both bands — the former
+    # two-select union evaluated the whole signature pipeline once per
+    # band (and per-seed minhash_cols once per seed: 8 walks of the
+    # shingle array per doc where one suffices)
+    d = docs.select(id_col, minhash_sig(F.col(text_col)).alias("_sig"))
+    return d.select(
+        id_col,
+        F.explode(F.array(
+            F.concat_ws("|", F.element_at("_sig", 1),
+                        F.element_at("_sig", 2)),
+            F.concat_ws("|", F.element_at("_sig", 3),
+                        F.element_at("_sig", 4)))).alias("band_key"))
 
 
 def minhash_band_pairs(docs: DataFrame, id_col: str = "doc_id",
