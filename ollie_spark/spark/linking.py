@@ -251,7 +251,16 @@ def connected_components(pairs: DataFrame, vertices: DataFrame,
                 parent[max(ra, rb)] = min(ra, rb)
         rows = [(v, find(v)) for v in parent]
         spark = pairs.sparkSession
-        local = spark.createDataFrame(rows, "norm string, component string")
+        # ship the resolved components back as a pandas frame: with
+        # Arrow enabled this lands as a JVM LocalRelation, so every
+        # downstream evaluation is JVM-only — the plain-list form
+        # becomes a pickled python RDD that spins python workers on
+        # EACH evaluation of the plan (measured 3.6s cold / 0.5s warm
+        # per count at 32 cores vs 0.25s for the Arrow path)
+        import pandas as pd
+
+        local = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["norm", "component"]))
         return local.unionByName(isolated)
 
     if algorithm == "star":
@@ -419,9 +428,13 @@ def canonicalize(mentions: DataFrame, num_hashes: int = 16,
 
     ments = entity_mentions(mentions)
     surface_counts = ments.groupBy("norm", "text").count()
+    # persist: this per-distinct-entity frame (tiny next to mentions)
+    # feeds the LSH signatures, the CC vertex set, the isolated-vertex
+    # anti-join, AND the canonical-map join — without the persist each
+    # consumer re-runs the mention normalization + two shuffles
     counts = (surface_counts.groupBy("norm")
               .agg(F.max_by("text", "count").alias("surface"),
-                   F.sum("count").alias("n")))
+                   F.sum("count").alias("n"))).persist()
     entities = counts.select("norm")
     t0 = _time.monotonic()
     pairs = lsh_candidate_pairs(entities, num_hashes=num_hashes,
