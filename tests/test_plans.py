@@ -51,6 +51,20 @@ def test_scoring_is_native_expression(spark):
     assert plan.count("MapInPandas") == 2
 
 
+def test_q12_band_join_reads_one_checkpointed_frame(spark):
+    """Both sides of the minhash band self-join must scan the SAME
+    materialized (checkpointed) banded frame: the signature pipeline
+    runs once per document, not once per join side, and no minhash
+    expression survives into the join plan (r4 materialize-once)."""
+    plan = _plan(spark, "q12_dedup_minhash")
+    assert plan.count("Scan ExistingRDD") == 2, \
+        f"expected 2 checkpoint scans, plan:\n{plan}"
+    assert "md5" not in plan, "signature pipeline leaked into join plan"
+    assert "Window" not in plan, "band-cap window re-ran in the join plan"
+    # (PLANS.md's formatted explain additionally shows both scans read
+    # the same MapPartitionsRDD — one materialization, two readers)
+
+
 def test_whole_stage_codegen_on_relational(spark):
     df = em.queries()["q01_pricing_summary"](spark, SF)
     df.collect()  # finalize the adaptive plan
