@@ -99,11 +99,18 @@ class StageWriter:
         counts = {r.bucket: r["count"] for r in
                   out.where(F.col("bucket").isin(pending))
                   .groupBy("bucket").count().collect()}
-        manifest = self.spark.createDataFrame(
+        # pandas/Arrow: a plain-list createDataFrame is a pickled
+        # python RDD whose write spins python workers (seconds of
+        # fixed per-stage latency); the Arrow path is a JVM
+        # LocalRelation (see linking.connected_components)
+        import pandas as pd
+
+        manifest = self.spark.createDataFrame(pd.DataFrame(
             [(stage, int(b), int(counts.get(b, 0)), wall_ms, run_id,
               time.time()) for b in pending],
-            "stage string, bucket int, rows long, wall_ms long, "
-            "run_id string, ts double")
+            columns=["stage", "bucket", "rows", "wall_ms", "run_id",
+                     "ts"]).astype({"bucket": "int32", "rows": "int64",
+                                    "wall_ms": "int64"}))
         manifest.write.mode("append").parquet(self._manifest(stage))
         return {"stage": stage, "buckets": pending,
                 "rows": int(sum(counts.values())), "wall_ms": wall_ms,
