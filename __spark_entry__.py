@@ -390,12 +390,17 @@ def kg_serialized_roundtrip(spark, sf_dir):
                 g = parse_text(t)
                 graphs.append(g.serialize() if g is not None else None)
             yield pdf.assign(graph=graphs)[
-                ["doc_id", "span_idx", "graph"]]
+                ["doc_id", "span_idx", "graph", "text"]]
 
+    # text travels WITH the pickle: the graph serialization encodes
+    # nodes only, and synthetic graphs don't cover every surface token,
+    # so without the original text the sentence-level features would
+    # drift from the direct path (cross-path equality is pinned by
+    # test_kg_serialized_roundtrip_equals_direct_path)
     gdf = sents.mapInPandas(
-        ser, "doc_id string, span_idx int, graph string") \
+        ser, "doc_id string, span_idx int, graph string, text string") \
         .where(F.col("graph").isNotNull())
-    return run_extraction_serialized(gdf).select(
+    return run_extraction_serialized(gdf, text_col="text").select(
         "doc_id", "span_idx", "arg1_text", "rel_text", "arg2_text",
         "conf")
 

@@ -283,19 +283,35 @@ def extract_mentions(sents: DataFrame, parser=None) -> DataFrame:
 
 
 def extract_serialized(graphs_df: DataFrame,
-                       graph_col: str = "graph") -> DataFrame:
+                       graph_col: str = "graph",
+                       text_col: str | None = None) -> DataFrame:
     """Pre-parsed corpus ingestion (reference --serialized mode,
     OpenParse.scala:298-307): rows carry a pickled dependency graph
     (``label(src_tok, dst_tok); ...`` format, graph.py:194) instead of
     raw text; deserialization errors shield per row exactly like parse
-    errors."""
+    errors.
+
+    ``text_col`` (optional) restores the original sentence text onto
+    each deserialized graph.  The pickle encodes only the graph's
+    nodes, so a graph whose nodes don't cover every surface token
+    (dropped punctuation, collapsed prepositions) reconstructs a
+    shorter ``graph.text`` — and the sentence-level features (R20)
+    scored off it drift from the direct path.  Supplying the text
+    column makes serialize -> deserialize -> extract value-identical
+    to direct extraction (pinned by
+    tests/test_entry_oracle.py::test_kg_serialized_roundtrip_equals_direct_path).
+    """
     def batch_graphs(pdf):
         from ..graph import DependencyGraph
 
+        texts = pdf[text_col] if text_col is not None \
+            and text_col in pdf.columns else None
+
         def gen():
-            for p in pdf[graph_col]:
+            for i, p in enumerate(pdf[graph_col]):
                 try:
-                    yield DependencyGraph.deserialize(p)
+                    yield DependencyGraph.deserialize(
+                        p, text=None if texts is None else texts.iloc[i])
                 except Exception:  # noqa: BLE001 — malformed pickle
                     yield None
         return gen()
@@ -360,11 +376,15 @@ def run_extraction(documents: DataFrame,
 
 def run_extraction_serialized(graphs_df: DataFrame,
                               conf_threshold: float = 0.0,
-                              graph_col: str = "graph") -> DataFrame:
+                              graph_col: str = "graph",
+                              text_col: str | None = None) -> DataFrame:
     """Pre-parsed corpus -> scored mentions: the --serialized pipeline
-    end-to-end (deserialize + extract + score + filter)."""
+    end-to-end (deserialize + extract + score + filter).  Pass
+    ``text_col`` to restore original sentence text onto the graphs
+    (see extract_serialized)."""
     return _score_and_filter(
-        extract_serialized(graphs_df, graph_col=graph_col),
+        extract_serialized(graphs_df, graph_col=graph_col,
+                           text_col=text_col),
         conf_threshold)
 
 

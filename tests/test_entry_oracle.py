@@ -76,6 +76,22 @@ def test_entry_smoke(spark):
     assert {"arg1_text", "rel_text", "arg2_text", "conf"} <= set(df.columns)
 
 
+def test_kg_serialized_roundtrip_equals_direct_path(spark):
+    """The --serialized ingestion query must emit exactly the direct
+    pipeline's rows: parse -> serialize -> deserialize -> extract is a
+    value-level no-op.  At sf0.001 both queries cover the same 500
+    docs, so this pins the roundtrip against the direct path instead
+    of a bare row count."""
+    direct = QUERIES["kg_extract_mentions"](spark, SF_DIR)
+    rt = QUERIES["kg_serialized_roundtrip"](spark, SF_DIR)
+    cols = ["doc_id", "span_idx", "arg1_text", "rel_text", "arg2_text",
+            "conf"]
+    d = sorted(map(tuple, direct.select(*cols).collect()))
+    r = sorted(map(tuple, rt.select(*cols).collect()))
+    assert len(d) > 0
+    assert d == r
+
+
 # ---------------------------------------------------------------------
 # kg_* cross-engine recompute oracles (r4 judge item 4): the driver
 # records these queries as `no_oracle`, so re-derive their group/join
