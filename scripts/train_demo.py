@@ -50,6 +50,13 @@ def seed_rows(n_per_template: int, rng_seed: int = 11):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds-per-template", type=int, default=400)
+    ap.add_argument("--held-out-docs", type=int, default=5000)
+    args = ap.parse_args()
+
     from pyspark.sql import functions as F
 
     from ollie_spark.bootstrap.evaluate import auc, precision_yield, score
@@ -68,7 +75,7 @@ def main():
     from ollie_spark.bootstrap.stages import (generalize_templates,
                                               load_categories)
 
-    n_seeds_per = 400
+    n_seeds_per = args.seeds_per_template
     seeds = spark.createDataFrame(seed_rows(n_seeds_per), SEED_SCHEMA)
     base_rows = train_model(seeds, max_length=4, min_common=5,
                             min_diverse=2).collect()
@@ -81,7 +88,7 @@ def main():
                           slot_min_count=2)
     full_rows = generalize_templates(full_df, load_categories()).collect()
 
-    n_docs = 5000
+    n_docs = args.held_out_docs
     docs = corpus(spark, n_docs, seed=1234, partitions=32)
     sents = sentences(docs)
 
