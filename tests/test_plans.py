@@ -65,6 +65,17 @@ def test_q12_band_join_reads_one_checkpointed_frame(spark):
     # the same MapPartitionsRDD — one materialization, two readers)
 
 
+def test_q14_jaccard_join_reads_one_checkpointed_frame(spark):
+    """Same materialize-once contract for the Jaccard block self-join:
+    both sides scan the checkpointed blocked frame; the tokenization
+    runs once (the distinct-token arrays ARE in the checkpoint, so the
+    join plan carries no split-of-text)."""
+    plan = _plan(spark, "q14_ngram_jaccard_pairs")
+    assert plan.count("Scan ExistingRDD") == 2, \
+        f"expected 2 checkpoint scans, plan:\n{plan}"
+    assert "split(text" not in plan, "tokenization leaked into join plan"
+
+
 def test_whole_stage_codegen_on_relational(spark):
     df = em.queries()["q01_pricing_summary"](spark, SF)
     df.collect()  # finalize the adaptive plan
