@@ -514,7 +514,11 @@ def embedding_neardup_pairs(vecs: DataFrame, threshold: float = 0.62,
             row = vecs.agg(F.max(F.size(vec_col)).alias("d")).first()
             dim = int(row["d"]) if row and row["d"] is not None else 4
         bits = auto_cell_bits(vecs.count(), dim=dim)
-    base = vecs.withColumn("_cell", sign_cell(F.col(vec_col), bits))
+    # materialize once: the probe side derives from the same frame, so
+    # without this the source is scanned (and cells computed) per side
+    # (the q12/q14/linking band-frame discipline)
+    base = vecs.withColumn("_cell", sign_cell(F.col(vec_col), bits)) \
+        .localCheckpoint(eager=True)
     if multi_probe:
         probed = base.withColumn(
             "_probe", F.explode(probe_cells(F.col(vec_col), bits)))
