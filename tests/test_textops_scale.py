@@ -211,6 +211,35 @@ def test_ngram_jaccard_tc_bucket_recovers_count_drift(spark):
     assert got == [("x1", "x2", 1.0)]
 
 
+# ----------------------------------------------------------- minhash
+
+def test_minhash_sig_fold_matches_legacy_per_seed_form(spark):
+    """The one-pass minhash_sig (zip_with/least accumulator) must be
+    value-identical to the per-seed array_min(transform(md5...)) form
+    it replaced (r4 fold), including short/empty texts."""
+    from ollie_spark.spark.textops import (MINHASH_SEEDS, minhash_sig,
+                                           word_shingles)
+
+    def legacy(text_col):
+        sh = word_shingles(text_col, 3)
+
+        def h(seed):
+            return F.array_min(F.transform(
+                sh, lambda s: F.md5(F.concat(s, F.lit(f"#{seed}")))))
+
+        return F.array(*[h(s) for s in MINHASH_SEEDS])
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "one two", "single", "", "alpha beta gamma delta epsilon"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select("text",
+                     minhash_sig(F.col("text")).alias("new"),
+                     legacy(F.col("text")).alias("old")).collect()
+    for r in rows:
+        assert list(r.new) == list(r.old), f"minhash drift on {r.text!r}"
+        assert len(r.new) == len(MINHASH_SEEDS)
+
+
 # ----------------------------------------------------------- simhash
 
 def test_simhash16_fold_matches_legacy_per_bit_form(spark):
