@@ -450,6 +450,11 @@ def canonicalize(mentions: DataFrame, num_hashes: int = 16,
              .withColumn("node_id", F.col("component"))
              .persist())
     n_map = canon.count()
+    # counts' last consumer just materialized into the canon cache —
+    # release it so repeated canonicalize() calls don't stack caches.
+    # (canon itself stays persisted: the returned linked/nodes/edges
+    # frames read it lazily — its lifetime is the caller's.)
+    counts.unpersist()
     if metrics_out is not None:
         metrics_out["canon_map_sec"] = round(_time.monotonic() - t0, 3)
 

@@ -301,11 +301,18 @@ def extract_serialized(graphs_df: DataFrame,
     to direct extraction (pinned by
     tests/test_entry_oracle.py::test_kg_serialized_roundtrip_equals_direct_path).
     """
+    if text_col is not None and text_col not in graphs_df.columns:
+        # fail loudly: silently falling back to node-reconstructed
+        # text would reintroduce the feature drift this parameter
+        # exists to prevent
+        raise ValueError(
+            f"text_col {text_col!r} not in input columns "
+            f"{graphs_df.columns}")
+
     def batch_graphs(pdf):
         from ..graph import DependencyGraph
 
-        texts = pdf[text_col] if text_col is not None \
-            and text_col in pdf.columns else None
+        texts = pdf[text_col] if text_col is not None else None
 
         def gen():
             for i, p in enumerate(pdf[graph_col]):

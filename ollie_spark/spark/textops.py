@@ -62,8 +62,13 @@ def word_shingles(text_col, n: int = 3) -> Column:
             F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
             lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)))
 
-    return F.element_at(
-        F.transform(F.array(F.split(text_col, " ")), shingles), 1)
+    # NULL text -> NULL shingles, matching the pre-let-binding form
+    # (the array-wrap would otherwise smuggle a [""] through concat_ws'
+    # null-skipping and hand downstream hashes a phantom shingle)
+    return F.when(
+        text_col.isNotNull(),
+        F.element_at(
+            F.transform(F.array(F.split(text_col, " ")), shingles), 1))
 
 
 def minhash_sig(text_col, seeds=MINHASH_SEEDS, shingle_n: int = 3) -> Column:
@@ -87,24 +92,13 @@ def minhash_sig(text_col, seeds=MINHASH_SEEDS, shingle_n: int = 3) -> Column:
             lambda a, h: F.least(a, h)))
 
 
-def minhash_cols(text_col, seeds=MINHASH_SEEDS, shingle_n: int = 3):
-    """One md5-minhash column per seed (portable across engines).
-
-    NB: selecting several of these in ONE projection inlines the
-    ``minhash_sig`` aggregate per column (the Catalyst CSE trap) —
-    for table-scale use, alias :func:`minhash_sig` once in its own
-    projection and ``element_at`` it, as ``_minhash_banded`` does."""
-    sig = minhash_sig(text_col, seeds, shingle_n)
-    return [F.element_at(sig, k + 1).alias(f"mh{k}")
-            for k in range(len(seeds))]
-
-
 def _minhash_banded(docs: DataFrame, id_col: str,
                     text_col: str) -> DataFrame:
     # signature lands in its own projection and the band keys reference
     # it as a column, then ONE explode emits both bands — the former
     # two-select union evaluated the whole signature pipeline once per
-    # band (and per-seed minhash_cols once per seed: 8 walks of the
+    # band (and the retired per-seed column helper once per seed: 8
+    # walks of the
     # shingle array per doc where one suffices)
     d = docs.select(id_col, minhash_sig(F.col(text_col)).alias("_sig"))
     return d.select(
@@ -176,7 +170,7 @@ def simhash16(text_col) -> Column:
     hashes = F.transform(F.array_distinct(F.split(text_col, " ")),
                          lambda w: F.md5(w))
     zeros = F.array(*[F.lit(0) for _ in range(16)])
-    return F.aggregate(
+    folded = F.aggregate(
         hashes, zeros,
         lambda acc, h: F.array(*[
             acc[i] + F.when(F.substring(h, i + 1, 1).isin(*high),
@@ -185,6 +179,10 @@ def simhash16(text_col) -> Column:
         lambda acc: F.concat(*[
             F.when(acc[i] >= 0, F.lit("1")).otherwise(F.lit("0"))
             for i in range(16)]))
+    # NULL text: the legacy per-bit form scored every bit
+    # when(NULL >= 0) -> '0'; the fold propagates NULL — coalesce to
+    # the same all-zeros string so the semantics are unchanged
+    return F.coalesce(folded, F.lit("0" * 16))
 
 
 def token_jaccard(toks_a, toks_b) -> Column:
@@ -243,7 +241,9 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
         cond = (F.col("a.tc") == F.col("b.tc")) \
             & (F.col("a.doc_id") < F.col("b.doc_id"))
     else:
-        bucket = F.floor(F.col("tc") / tc_bucket)
+        # probe from the _bkt column the (checkpointed) base already
+        # carries — one bucket definition, no duplicate floor() trees
+        bucket = F.col("_bkt")
         probe = base.withColumn(
             "_pbkt", F.explode(F.array(bucket - 1, bucket, bucket + 1)))
         a, b = probe.alias("a"), base.alias("b")

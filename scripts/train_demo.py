@@ -53,8 +53,9 @@ def main():
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--seeds-per-template", type=int, default=400)
-    ap.add_argument("--held-out-docs", type=int, default=5000)
+    # defaults reproduce the committed TRAINING.md (r4 4x-scale run)
+    ap.add_argument("--seeds-per-template", type=int, default=1600)
+    ap.add_argument("--held-out-docs", type=int, default=20000)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F

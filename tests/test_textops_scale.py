@@ -238,6 +238,15 @@ def test_minhash_sig_fold_matches_legacy_per_seed_form(spark):
     for r in rows:
         assert list(r.new) == list(r.old), f"minhash drift on {r.text!r}"
         assert len(r.new) == len(MINHASH_SEEDS)
+    # NULL text: shingles are NULL (not a phantom ['']), so the
+    # signature is NULL and doc_fingerprint(NULL) is NULL — matching
+    # the DuckDB oracles' NULL propagation
+    from ollie_spark.spark.textops import doc_fingerprint
+    nrow = spark.createDataFrame([(None,)], "text string").select(
+        word_shingles(F.col("text")).alias("sh"),
+        minhash_sig(F.col("text")).alias("sig"),
+        doc_fingerprint(F.col("text")).alias("fp")).first()
+    assert nrow.sh is None and nrow.sig is None and nrow.fp is None
 
 
 # ----------------------------------------------------------- simhash
@@ -276,6 +285,12 @@ def test_simhash16_fold_matches_legacy_per_bit_form(spark):
     for r in rows:
         assert r.new == r.old, f"simhash drift on {r.text!r}"
         assert len(r.new) == 16 and set(r.new) <= {"0", "1"}
+    # NULL text: the legacy per-bit CASE scored all-zeros; the fold
+    # must coalesce to the same string, not propagate NULL
+    nrow = spark.createDataFrame([(None,)], "text string").select(
+        simhash16(F.col("text")).alias("new"),
+        legacy(F.col("text")).alias("old")).first()
+    assert nrow.new == nrow.old == "0" * 16
 
 
 # --------------------------------------------------------- language ID
