@@ -127,6 +127,36 @@ def test_star_components_agree_with_min_label(spark):
         assert groups(ml) == groups(st), f"trial {trial}"
 
 
+def test_union_find_escape_hatch_agrees_with_distributed(spark):
+    """The driver-side union-find (small-graph escape hatch) must
+    produce the same partition into components as both distributed
+    algorithms on random graphs — the three code paths are
+    interchangeable by size threshold, so they must agree."""
+    import random
+    rng = random.Random(777)
+
+    def groups(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.component, set()).add(r.norm)
+        return {frozenset(v) for v in out.values()}
+
+    for trial in range(3):
+        n = 24
+        names = [f"u{i:02d}" for i in range(n)]
+        edges = {tuple(sorted(rng.sample(names, 2))) for _ in range(20)}
+        pairs = spark.createDataFrame(
+            sorted(edges), "norm_a string, norm_b string")
+        verts = spark.createDataFrame([(x,) for x in names], "norm string")
+        uf = connected_components(pairs, verts)            # escape hatch
+        ml = connected_components(pairs, verts, max_iter=40,
+                                  local_threshold=0,
+                                  algorithm="min_label")
+        st = connected_components(pairs, verts, local_threshold=0,
+                                  algorithm="star")
+        assert groups(uf) == groups(ml) == groups(st), f"trial {trial}"
+
+
 def test_min_label_warns_on_exhaustion(spark):
     """A chain longer than max_iter must warn, not silently split."""
     import warnings
