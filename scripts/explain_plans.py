@@ -23,7 +23,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 PLAN_QUERIES = [
     "q01_pricing_summary", "q02_top_customers", "q03_region_rollup",
     "q04_frequent_parts_semijoin", "q07_running_window",
-    "q12_dedup_minhash", "q18_ann_cosine_topk", "q23_lang_id",
+    "q12_dedup_minhash", "q14_ngram_jaccard_pairs",
+    "q18_ann_cosine_topk", "q23_lang_id",
 ]
 
 
