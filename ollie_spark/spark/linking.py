@@ -36,6 +36,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ollie_spark.spark.materialize import materialize_once
+
 DETERMINERS = ("the", "a", "an", "this", "that", "these", "those", "some",
                "any", "each", "every", "its", "his", "her", "their", "our")
 
@@ -101,11 +103,12 @@ def minhash_signature(df: DataFrame, col: str = "norm",
     return df.withColumn("sig", sig).drop("_shingles")
 
 
-def lsh_candidate_pairs(entities: DataFrame, num_hashes: int = 16,
-                        bands: int = 8, jaccard_threshold: float = 0.5,
-                        max_bucket: int = 64) -> DataFrame:
-    """(norm_a, norm_b) near-duplicate candidates, verified by token
-    Jaccard.  ``entities`` must have distinct ``norm``."""
+def _lsh_banded(entities: DataFrame, num_hashes: int,
+                bands: int) -> DataFrame:
+    """(norm, band_key, bucket_n): minhash signatures banded + per-
+    bucket size in one window count — the SINGLE band construction the
+    pair generator and the dropped-bucket metric both read (previously
+    duplicated between the two, a hand-mirroring drift hazard)."""
     rows = num_hashes // bands
     sigs = minhash_signature(entities.select("norm"), num_hashes=num_hashes)
     banded = sigs.select(
@@ -115,16 +118,32 @@ def lsh_candidate_pairs(entities: DataFrame, num_hashes: int = 16,
                 ",", *[F.element_at("sig", b * rows + r + 1).cast("string")
                        for r in range(rows)]), F.lit(b))
             for b in range(bands)])).alias("band_key"))
-    sized = banded.withColumn(
+    return banded.withColumn(
         "bucket_n", F.count("*").over(Window.partitionBy("band_key")))
-    kept = sized.where(F.col("bucket_n") <= max_bucket).drop("bucket_n")
-    # materialize the capped banded frame ONCE: aliasing the lazy plan
+
+
+def lsh_candidate_pairs(entities: DataFrame, num_hashes: int = 16,
+                        bands: int = 8, jaccard_threshold: float = 0.5,
+                        max_bucket: int = 64,
+                        metrics_out: dict | None = None) -> DataFrame:
+    """(norm_a, norm_b) near-duplicate candidates, verified by token
+    Jaccard.  ``entities`` must have distinct ``norm``.
+
+    Pass ``metrics_out`` (a dict) to receive ``dropped_buckets`` —
+    counted off the same materialized sized frame the self-join reads,
+    so pairs + metric cost one signature computation."""
+    # materialize the sized banded frame ONCE: aliasing the lazy plan
     # as both self-join sides re-runs the whole minhash signature
     # pipeline per side (the dominant cost of canonicalize's blocking
-    # stage).  Same checkpoint discipline as connected_components; on a
-    # real cluster persist(MEMORY_AND_DISK) + count is the
-    # executor-loss-tolerant spelling.
-    kept = kept.localCheckpoint(eager=True)
+    # stage); the metric (when requested) reads the same materialized
+    # frame.  Same discipline as connected_components' edge set;
+    # materialize_once picks localCheckpoint vs persist by deployment.
+    sized = materialize_once(_lsh_banded(entities, num_hashes, bands))
+    if metrics_out is not None:
+        metrics_out["dropped_buckets"] = (
+            sized.where(F.col("bucket_n") > max_bucket)
+            .select("band_key").distinct().count())
+    kept = sized.where(F.col("bucket_n") <= max_bucket).drop("bucket_n")
     a = kept.alias("a")
     b = kept.alias("b")
     pairs = (a.join(b, "band_key")
@@ -153,25 +172,28 @@ def lsh_candidate_pairs(entities: DataFrame, num_hashes: int = 16,
 
 def dropped_buckets(entities: DataFrame, num_hashes: int = 16,
                     bands: int = 8, max_bucket: int = 64) -> int:
-    """How many LSH buckets the cap skipped (metrics, not silent)."""
-    rows = num_hashes // bands
-    sigs = minhash_signature(entities.select("norm"), num_hashes=num_hashes)
-    banded = sigs.select(F.explode(F.array(*[
-        F.xxhash64(F.concat_ws(
-            ",", *[F.element_at("sig", b * rows + r + 1).cast("string")
-                   for r in range(rows)]), F.lit(b))
-        for b in range(bands)])).alias("band_key"))
-    return (banded.groupBy("band_key").count()
-            .where(F.col("count") > max_bucket).count())
+    """How many LSH buckets the cap skipped (metrics, not silent).
+
+    Metric-only path over the generator's own band construction
+    (``_lsh_banded`` — no duplicated banding to hand-mirror); when you
+    also need the pairs, pass ``metrics_out`` to
+    :func:`lsh_candidate_pairs` / :func:`canonicalize` instead."""
+    sized = _lsh_banded(entities, num_hashes, bands)
+    return (sized.where(F.col("bucket_n") > max_bucket)
+            .select("band_key").distinct().count())
 
 
 def _frame_sig(df: DataFrame, cols) -> tuple:
     """Probabilistic row-set equality signature: (count, sum of
-    xxhash64(cols), sum of independently-seeded xxhash64(cols, 1)) in
-    ONE agg job.  Two distinct row sets collide only if BOTH 64-bit
-    hash SUMS agree under independent seeds — a structured value swap
-    that preserves one sum perturbs the other, so collisions are
-    implausible even at web-scale row counts (the check remains
+    xxhash64(cols), sum of xxhash64(cols, 1)) in ONE agg job.  The
+    second sum is a DERIVED hash, not an independent family — pyspark's
+    xxhash64 takes no seed, so appending lit(1) continues the first
+    hash's state over one extra word.  The collision argument is
+    correspondingly weaker but still sound for this use: two distinct
+    row sets are treated equal only if both 64-bit sums agree, and a
+    structured value swap that preserves sum(h(x)) must also preserve
+    sum(g(h-state(x))) — implausible for xxhash64's avalanche even
+    though g is a fixed function of the same stream (the check remains
     probabilistic, not exact).  decimal(38,0) keeps the sums exact
     (and ANSI-safe) at any row count."""
     cs = [F.col(c) for c in cols]
@@ -215,7 +237,14 @@ def connected_components(pairs: DataFrame, vertices: DataFrame,
                         F.col("norm_b").alias("dst"))
            .unionByName(pairs.select(F.col("norm_b").alias("src"),
                                      F.col("norm_a").alias("dst"))))
-    sym = sym.localCheckpoint(eager=True)
+    # static frame consumed every round + collected by the escape
+    # hatch — materialize once (localCheckpoint local / persist+count
+    # on a cluster).  The per-ROUND label frames below stay
+    # localCheckpoint: iterative lineage must be TRUNCATED (persist
+    # alone leaves each round's plan referencing the previous round's,
+    # blowing up Catalyst planning time); the cluster spelling there is
+    # reliable .checkpoint() with a checkpoint dir.
+    sym = materialize_once(sym)
     connected_verts = sym.select(F.col("src").alias("norm")).distinct()
     isolated = (vertices.select("norm")
                 .join(connected_verts, "norm", "left_anti")
@@ -309,12 +338,15 @@ def _star_components(sym: DataFrame, max_iter: int = 50) -> DataFrame:
     neighborhood the same way.  Converges in O(log n) rounds to a
     forest of depth-1 stars rooted at each component's minimum label,
     independent of graph diameter."""
-    verts = sym.select(F.col("src").alias("norm")).distinct() \
-        .localCheckpoint(eager=True)
-    # work on undirected unique edges (u > v canonical direction)
-    edges = (sym.where(F.col("src") > F.col("dst"))
-             .select(F.col("src").alias("u"), F.col("dst").alias("v"))
-             .distinct().localCheckpoint(eager=True))
+    verts = materialize_once(
+        sym.select(F.col("src").alias("norm")).distinct())
+    # work on undirected unique edges (u > v canonical direction);
+    # per-round frames below keep localCheckpoint for iterative
+    # lineage truncation (see connected_components)
+    edges = materialize_once(
+        sym.where(F.col("src") > F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .distinct())
 
     def _sym(e):
         return e.unionByName(e.select(F.col("v").alias("u"),
@@ -420,9 +452,11 @@ def canonicalize(mentions: DataFrame, num_hashes: int = 16,
       sides back, rejoin on row_key.  One full-row shuffle instead of
       two, and the skewed lookup shuffles only narrow rows.
 
-    ``metrics_out`` (optional dict) receives the stage wall-time split:
-    ``lsh_cc_sec`` (blocking + connected components, eager) and
-    ``canon_map_sec`` (canonical-map materialize + count).
+    ``metrics_out`` (optional dict) receives the stage wall-time split
+    — ``lsh_cc_sec`` (blocking + connected components, eager) and
+    ``canon_map_sec`` (canonical-map materialize + count) — plus
+    ``dropped_buckets``, counted off the blocking stage's own
+    materialized band frame (no second signature computation).
     """
     import time as _time
 
@@ -438,7 +472,7 @@ def canonicalize(mentions: DataFrame, num_hashes: int = 16,
     entities = counts.select("norm")
     t0 = _time.monotonic()
     pairs = lsh_candidate_pairs(entities, num_hashes=num_hashes,
-                                bands=bands)
+                                bands=bands, metrics_out=metrics_out)
     comp = connected_components(pairs, entities)
     if metrics_out is not None:
         metrics_out["lsh_cc_sec"] = round(_time.monotonic() - t0, 3)

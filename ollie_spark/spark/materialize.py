@@ -24,6 +24,32 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def materialize_once(df: DataFrame) -> DataFrame:
+    """Materialize a multi-consumer frame exactly once.
+
+    The dedup/linking pair generators reference one expensive frame
+    (minhash signatures, tokenizations, ANN cells) from both sides of a
+    self-join plus an optional metrics probe; without materialization
+    Spark re-runs the whole producing pipeline per consumer.  The
+    strategy switches on the deployment:
+
+    - ``local[...]`` master (one JVM, this sandbox): ``localCheckpoint``
+      — truncates lineage so every consumer scans the stored partitions.
+      Fault tolerance is irrelevant in a single process.
+    - any other master (a real multi-executor cluster):
+      ``persist(MEMORY_AND_DISK)`` + count — an executor loss recomputes
+      the lost partitions from lineage instead of failing the job, which
+      ``localCheckpoint`` (unrecoverable partitions) would.
+    """
+    master = df.sparkSession.conf.get("spark.master", "")
+    if master.startswith("local"):
+        return df.localCheckpoint(eager=True)
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    return df
 
 
 def with_bucket(df: DataFrame, n_buckets: int,

@@ -20,6 +20,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ollie_spark.spark.materialize import materialize_once
+
 MINHASH_SEEDS = (17, 29, 43, 71)
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
@@ -62,9 +64,11 @@ def word_shingles(text_col, n: int = 3) -> Column:
             F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
             lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)))
 
-    # NULL text -> NULL shingles, matching the pre-let-binding form
-    # (the array-wrap would otherwise smuggle a [""] through concat_ws'
-    # null-skipping and hand downstream hashes a phantom shingle)
+    # NULL text -> NULL shingles: a DELIBERATE change from the legacy
+    # pre-let-binding form (which emitted a phantom [''] shingle for
+    # NULL text via concat_ws' null-skipping), aligned with the DuckDB
+    # oracles' NULL propagation and pinned by
+    # test_minhash_sig_fold_matches_legacy_per_seed_form
     return F.when(
         text_col.isNotNull(),
         F.element_at(
@@ -110,31 +114,49 @@ def _minhash_banded(docs: DataFrame, id_col: str,
                         F.element_at("_sig", 4)))).alias("band_key"))
 
 
+def _minhash_sized(docs: DataFrame, id_col: str,
+                   text_col: str) -> DataFrame:
+    """Banded frame + per-bucket size ``_n`` (one window count) — the
+    SINGLE band construction both the pair generator and the dropped
+    metric read, so the two can never drift apart."""
+    return _minhash_banded(docs, id_col, text_col).withColumn(
+        "_n", F.count("*").over(Window.partitionBy("band_key")))
+
+
 def minhash_band_pairs(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
-                       max_bucket: int = DEFAULT_MAX_BAND_BUCKET
-                       ) -> DataFrame:
+                       max_bucket: int = DEFAULT_MAX_BAND_BUCKET,
+                       metrics_out: dict | None = None) -> DataFrame:
     """MinHash+LSH near-duplicate document pairs: 4 hashes, 2 bands of
     2; pairs sharing a band bucket (a < b).
 
     Buckets larger than ``max_bucket`` are dropped before the self-join
     (same cap-and-count discipline as linking.lsh_candidate_pairs): one
     degenerate band key over millions of boilerplate docs must not emit
-    O(n^2) pairs.  Count the casualties with ``minhash_dropped_bands``.
-    """
-    banded = _minhash_banded(docs, id_col, text_col)
-    if max_bucket is not None:
-        sized = banded.withColumn(
-            "_n", F.count("*").over(Window.partitionBy("band_key")))
-        banded = sized.where(F.col("_n") <= max_bucket).drop("_n")
+    O(n^2) pairs.  Pass ``metrics_out`` (a dict) to receive
+    ``dropped_bands`` — counted off the SAME materialized sized frame
+    the join reads, so pairs + metric cost ONE signature computation
+    (the standalone ``minhash_dropped_bands`` recomputes signatures and
+    exists for metric-only callers)."""
     # materialize ONCE before self-joining: aliasing the lazy plan as
     # both sides makes Spark compute the minhash signature pipeline
     # (and re-scan the source) independently per side — at web scale
     # the signature map dominates the dedup stage, so that doubles it.
-    # Same discipline as linking.connected_components' checkpointed
-    # edge set; on a multi-executor cluster with executor churn,
-    # persist(MEMORY_AND_DISK) + count is the fault-tolerant spelling.
-    banded = banded.localCheckpoint(eager=True)
+    # The checkpoint holds the SIZED frame (cap filter applied lazily
+    # per consumer): over-cap rows are stored once, which is strictly
+    # cheaper than the pre-r5 shape where the metric re-ran the whole
+    # signature pipeline; the window count shuffles every row anyway.
+    if max_bucket is None:
+        banded = materialize_once(_minhash_banded(docs, id_col, text_col))
+        if metrics_out is not None:
+            metrics_out["dropped_bands"] = 0
+    else:
+        sized = materialize_once(_minhash_sized(docs, id_col, text_col))
+        if metrics_out is not None:
+            metrics_out["dropped_bands"] = (
+                sized.where(F.col("_n") > max_bucket)
+                .select("band_key").distinct().count())
+        banded = sized.where(F.col("_n") <= max_bucket).drop("_n")
     a, b = banded.alias("a"), banded.alias("b")
     return (a.join(b, "band_key")
             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -147,10 +169,15 @@ def minhash_dropped_bands(docs: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text",
                           max_bucket: int = DEFAULT_MAX_BAND_BUCKET
                           ) -> int:
-    """How many band buckets the cap skipped (metrics, not silent)."""
-    banded = _minhash_banded(docs, id_col, text_col)
-    return (banded.groupBy("band_key").count()
-            .where(F.col("count") > max_bucket).count())
+    """How many band buckets the cap skipped (metrics, not silent).
+
+    Metric-only path; delegates to the generator's own band
+    construction (``_minhash_sized``).  When you also need the pairs,
+    pass ``metrics_out`` to :func:`minhash_band_pairs` instead — that
+    derives this count from the already-materialized frame."""
+    sized = _minhash_sized(docs, id_col, text_col)
+    return (sized.where(F.col("_n") > max_bucket)
+            .select("band_key").distinct().count())
 
 
 def simhash16(text_col) -> Column:
@@ -204,11 +231,20 @@ def _jaccard_blocked(docs: DataFrame, block_cols, tc_bucket):
     return base, list(block_cols) + ["_bkt"]
 
 
+def _jaccard_sized(docs: DataFrame, block_cols, tc_bucket):
+    """(sized base, block key cols): the blocked frame + per-block size
+    ``_n`` — the single block construction the pair generator and the
+    dropped metric both read."""
+    base, key_cols = _jaccard_blocked(docs, block_cols, tc_bucket)
+    return base.withColumn(
+        "_n", F.count("*").over(Window.partitionBy(*key_cols))), key_cols
+
+
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
                         block_cols=("lang",),
                         tc_bucket: int | None = None,
-                        max_block: int = DEFAULT_MAX_JACCARD_BLOCK
-                        ) -> DataFrame:
+                        max_block: int = DEFAULT_MAX_JACCARD_BLOCK,
+                        metrics_out: dict | None = None) -> DataFrame:
     """Word-set Jaccard pairs within (block, token-count) blocks.
 
     ``tc_bucket=None`` (default, oracle-pinned) blocks on the EXACT
@@ -225,17 +261,27 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
     key over millions of boilerplate docs must not emit O(block^2)
     pairs.  A dropped block's docs are excluded from both join sides
     (in bucketed mode they neither anchor nor probe), so candidates
-    stay <= 3 * max_block per surviving probe row.  Count the
-    casualties with ``ngram_dropped_blocks``."""
-    base, key_cols = _jaccard_blocked(docs, block_cols, tc_bucket)
-    if max_block is not None:
-        sized = base.withColumn(
-            "_n", F.count("*").over(Window.partitionBy(*key_cols)))
+    stay <= 3 * max_block per surviving probe row.  Pass
+    ``metrics_out`` to receive ``dropped_blocks`` counted off the same
+    materialized sized frame the join reads (one tokenization serves
+    pairs + metric; standalone ``ngram_dropped_blocks`` re-tokenizes
+    and exists for metric-only callers)."""
+    # one tokenization/source-scan for both join sides AND the metric
+    # (see minhash_band_pairs): the checkpoint holds the sized frame,
+    # the cap filter applies lazily per consumer
+    if max_block is None:
+        base, key_cols = _jaccard_blocked(docs, block_cols, tc_bucket)
+        base = materialize_once(base)
+        if metrics_out is not None:
+            metrics_out["dropped_blocks"] = 0
+    else:
+        sized, key_cols = _jaccard_sized(docs, block_cols, tc_bucket)
+        sized = materialize_once(sized)
+        if metrics_out is not None:
+            metrics_out["dropped_blocks"] = (
+                sized.where(F.col("_n") > max_block)
+                .select(*key_cols).distinct().count())
         base = sized.where(F.col("_n") <= max_block).drop("_n")
-    # one tokenization/source-scan for both join sides (see
-    # minhash_band_pairs): the probe side derives from the same
-    # checkpointed frame, so the distinct-token arrays are computed once
-    base = base.localCheckpoint(eager=True)
     if tc_bucket is None:
         a, b = base.alias("a"), base.alias("b")
         cond = (F.col("a.tc") == F.col("b.tc")) \
@@ -264,10 +310,14 @@ def ngram_dropped_blocks(docs: DataFrame, block_cols=("lang",),
                          tc_bucket: int | None = None,
                          max_block: int = DEFAULT_MAX_JACCARD_BLOCK
                          ) -> int:
-    """How many Jaccard blocks the cap skipped (metrics, not silent)."""
-    base, key_cols = _jaccard_blocked(docs, block_cols, tc_bucket)
-    return (base.groupBy(*key_cols).count()
-            .where(F.col("count") > max_block).count())
+    """How many Jaccard blocks the cap skipped (metrics, not silent).
+
+    Metric-only path over the generator's own block construction
+    (``_jaccard_sized``); when you also need the pairs, pass
+    ``metrics_out`` to :func:`ngram_jaccard_pairs` instead."""
+    sized, key_cols = _jaccard_sized(docs, block_cols, tc_bucket)
+    return (sized.where(F.col("_n") > max_block)
+            .select(*key_cols).distinct().count())
 
 
 def text_quality(docs: DataFrame) -> DataFrame:
@@ -508,17 +558,27 @@ def embedding_neardup_pairs(vecs: DataFrame, threshold: float = 0.62,
     base cells so hyperplane-straddling near-dups aren't lost to the
     finer cells.  (q21's oracle wrapper pins bits=4, single-probe.)"""
     if bits is None:
+        # checkpoint FIRST, then probe: the corpus-size count and the
+        # max-dim probe fold into ONE agg job over the materialized
+        # partitions, so the source parquet is scanned exactly once per
+        # call (the pre-r5 shape ran count + max-dim against the raw
+        # source and then re-scanned it to materialize the cell frame)
+        vecs = materialize_once(vecs)
+        probe = vecs.agg(
+            F.count("*").alias("n"),
+            F.max(F.size(vec_col)).alias("d")).first()
         if dim is None:
             # max over the corpus: null-safe (agg skips null vectors)
             # and deterministic, unlike first() on an unordered frame
-            row = vecs.agg(F.max(F.size(vec_col)).alias("d")).first()
-            dim = int(row["d"]) if row and row["d"] is not None else 4
-        bits = auto_cell_bits(vecs.count(), dim=dim)
+            dim = int(probe["d"]) if probe["d"] is not None else 4
+        bits = auto_cell_bits(probe["n"], dim=dim)
     # materialize once: the probe side derives from the same frame, so
     # without this the source is scanned (and cells computed) per side
-    # (the q12/q14/linking band-frame discipline)
-    base = vecs.withColumn("_cell", sign_cell(F.col(vec_col), bits)) \
-        .localCheckpoint(eager=True)
+    # (the q12/q14/linking band-frame discipline).  In the auto-bits
+    # path this reads the vecs checkpoint, not the source — adding the
+    # small _cell string is the only new work.
+    base = materialize_once(
+        vecs.withColumn("_cell", sign_cell(F.col(vec_col), bits)))
     if multi_probe:
         probed = base.withColumn(
             "_probe", F.explode(probe_cells(F.col(vec_col), bits)))
