@@ -40,6 +40,15 @@ MEDIA_FEATURES_SCHEMA = StructType([
 
 EMBED_DIM = 16
 
+# FakeDecoder metadata constants — module-level so the cross-engine
+# DuckDB recompute oracle (tests/test_entry_oracle.py) interpolates
+# the SAME values the decoder uses; a drift in either side fails the
+# oracle instead of silently desynchronizing.
+FAKE_DIM_BASE = 64          # width/height = base + hash byte
+FAKE_MS_BASE = 1000         # duration_ms = base + byte0 * per_unit
+FAKE_MS_PER_UNIT = 100
+FAKE_FRAME_MOD = 32         # n_frames = 1 + byte2 % mod
+
 
 class FakeDecoder:
     """Deterministic stand-in for real media codecs.
@@ -54,15 +63,16 @@ class FakeDecoder:
 
     def metadata(self, kind: str, ref: str) -> dict:
         h = hashlib.sha256(ref.encode()).digest()
+        width, height = FAKE_DIM_BASE + h[0], FAKE_DIM_BASE + h[1]
+        dur = FAKE_MS_BASE + h[0] * FAKE_MS_PER_UNIT
         if kind == "image":
-            return {"width": 64 + h[0], "height": 64 + h[1],
+            return {"width": width, "height": height,
                     "duration_ms": None, "n_frames": None}
         if kind == "audio":
             return {"width": None, "height": None,
-                    "duration_ms": 1000 + h[0] * 100, "n_frames": None}
-        return {"width": 64 + h[0], "height": 64 + h[1],
-                "duration_ms": 1000 + h[0] * 100,
-                "n_frames": 1 + h[2] % 32}
+                    "duration_ms": dur, "n_frames": None}
+        return {"width": width, "height": height, "duration_ms": dur,
+                "n_frames": 1 + h[2] % FAKE_FRAME_MOD}
 
     def embed(self, payload: bytes) -> list[float]:
         # hash bytes -> unit-norm pseudo-embedding

@@ -177,3 +177,78 @@ def test_kg_graph_edges_match_duckdb_recompute(spark, kg_mentions,
                JOIN map b ON m.n2 = b.norm
         GROUP BY a.node_id, m.rel, b.node_id""").fetchall())
     assert got == want
+
+
+def test_kg_media_features_match_duckdb_recompute(spark, tmp_path):
+    """kg_media_features' relational logic — the span explode + media
+    filter, the per-kind metadata CASE, and the sign-bit ANN cell —
+    recomputed in DuckDB must reproduce the Spark rollup row-for-row.
+
+    What IS cross-engine here: the posexplode/filter (recomputed via
+    unnest over the dumped documents.spans), the metadata derivation
+    (DuckDB's own sha256 over media_ref, hex bytes parsed in SQL, the
+    FAKE_* constants interpolated from multimodal.py), and the cell
+    derivation (sign bits over the dumped embedding array).  What is
+    NOT: sha256-of-bytes for payload->embedding — DuckDB's sha256 is
+    VARCHAR-only, and that step is the documented stub codec anyway,
+    so the embedding column is the dumped intermediate."""
+    from ollie_spark.spark.corpus import corpus
+    from ollie_spark.spark.multimodal import (FAKE_DIM_BASE,
+                                              FAKE_FRAME_MOD,
+                                              FAKE_MS_BASE,
+                                              FAKE_MS_PER_UNIT,
+                                              extract_media_features,
+                                              media_ann_buckets,
+                                              media_spans)
+    docs = corpus(spark, 400, seed=42, partitions=4)
+    dpq = str(tmp_path / "docspans.parquet")
+    docs.select("doc_id", "spans").write.parquet(dpq)
+    feats = extract_media_features(media_spans(docs))
+    epq = str(tmp_path / "emb.parquet")
+    feats.select("doc_id", "span_idx", "embedding").write.parquet(epq)
+    got = sorted(tuple(r) for r in media_ann_buckets(feats, bits=4)
+                 .select("doc_id", "span_idx", "kind", "media_ref",
+                         "width", "height", "duration_ms", "n_frames",
+                         "cell").collect())
+    assert got, "no media features produced — test would be vacuous"
+
+    def hex_byte(k):  # k-th byte of sha256(media_ref) as 0..255, in SQL
+        p = 2 * k + 1
+        return (f"((strpos('0123456789abcdef', "
+                f"substr(sha256(media_ref), {p}, 1)) - 1) * 16 + "
+                f"strpos('0123456789abcdef', "
+                f"substr(sha256(media_ref), {p + 1}, 1)) - 1)")
+
+    b0, b1, b2 = hex_byte(0), hex_byte(1), hex_byte(2)
+    wh = f"({FAKE_DIM_BASE} + {b0})::INT", f"({FAKE_DIM_BASE} + {b1})::INT"
+    dur = f"({FAKE_MS_BASE} + {b0} * {FAKE_MS_PER_UNIT})::INT"
+    frames = f"(1 + {b2} % {FAKE_FRAME_MOD})::INT"
+    cell = " || ".join(
+        f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)"
+        for i in range(4))
+    con = duckdb.connect()
+    want = sorted(con.execute(f"""
+        WITH sp AS (
+            SELECT doc_id, span_idx, s.kind AS kind,
+                   s.media_ref AS media_ref
+            FROM (SELECT doc_id,
+                         generate_subscripts(spans, 1) - 1 AS span_idx,
+                         unnest(spans) AS s
+                  FROM '{dpq}/*.parquet')
+            WHERE s.kind <> 'text'),
+        meta AS (
+            SELECT doc_id, span_idx::INT AS span_idx, kind, media_ref,
+                   CASE WHEN kind IN ('image', 'video')
+                        THEN {wh[0]} END AS width,
+                   CASE WHEN kind IN ('image', 'video')
+                        THEN {wh[1]} END AS height,
+                   CASE WHEN kind IN ('audio', 'video')
+                        THEN {dur} END AS duration_ms,
+                   CASE WHEN kind = 'video' THEN {frames} END AS n_frames
+            FROM sp)
+        SELECT m.doc_id, m.span_idx, m.kind, m.media_ref, m.width,
+               m.height, m.duration_ms, m.n_frames, {cell} AS cell
+        FROM meta m JOIN '{epq}/*.parquet' e
+             ON m.doc_id = e.doc_id AND m.span_idx = e.span_idx
+        WHERE e.embedding IS NOT NULL""").fetchall())
+    assert got == want
