@@ -110,6 +110,11 @@ def main():
             "triples_per_sec": round(n_triples / extract_sec, 1),
             "nodes": n_nodes,
             "edges": n_edges,
+            # blocking-cap observability: the fused metric rides the
+            # same materialized band frame the linking join reads
+            # (r5), so reporting it costs one count job, not a second
+            # signature computation
+            "dropped_buckets": link_split.get("dropped_buckets", 0),
             "cpus": CPUS,
         },
     }

@@ -40,8 +40,22 @@ def build_graph(spark: SparkSession, documents: DataFrame, root: str,
     mentions_t = w.read_stage("mentions")
 
     # stages 2+3: linking + canonicalization -> nodes / edges,
-    # bucketed on their own canonical keys
-    linked, nodes, edges = canonicalize(mentions_t, salt=salt)
+    # bucketed on their own canonical keys.  canonicalize's eager work
+    # (LSH signatures + connected components + canonical-map count) is
+    # timed as its own pseudo-stage so the full-job scaling
+    # decomposition can name the core-count-flat tail instead of
+    # leaving it as unaccounted wall (r5 full-job pairs showed
+    # 25-57s between the stage writes, growing with core count).
+    import time as _time
+
+    link_split: dict = {}
+    t0 = _time.monotonic()
+    linked, nodes, edges = canonicalize(mentions_t, salt=salt,
+                                        metrics_out=link_split)
+    metrics["link"] = {
+        "stage": "link", "buckets": [], "rows": 0,
+        "wall_ms": int((_time.monotonic() - t0) * 1000),
+        "run_id": "", "split": link_split}
     metrics["nodes"] = w.run_stage("nodes", nodes, key="node_id")
     metrics["edges"] = w.run_stage("edges", edges, key="src_node")
 

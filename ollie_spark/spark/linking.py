@@ -105,21 +105,19 @@ def minhash_signature(df: DataFrame, col: str = "norm",
 
 def _lsh_banded(entities: DataFrame, num_hashes: int,
                 bands: int) -> DataFrame:
-    """(norm, band_key, bucket_n): minhash signatures banded + per-
-    bucket size in one window count — the SINGLE band construction the
-    pair generator and the dropped-bucket metric both read (previously
-    duplicated between the two, a hand-mirroring drift hazard)."""
+    """(norm, band_key): minhash signatures banded — the SINGLE band
+    construction the pair generator and the dropped-bucket metric both
+    read (previously duplicated between the two, a hand-mirroring
+    drift hazard)."""
     rows = num_hashes // bands
     sigs = minhash_signature(entities.select("norm"), num_hashes=num_hashes)
-    banded = sigs.select(
+    return sigs.select(
         "norm",
         F.explode(F.array(*[
             F.xxhash64(F.concat_ws(
                 ",", *[F.element_at("sig", b * rows + r + 1).cast("string")
                        for r in range(rows)]), F.lit(b))
             for b in range(bands)])).alias("band_key"))
-    return banded.withColumn(
-        "bucket_n", F.count("*").over(Window.partitionBy("band_key")))
 
 
 def lsh_candidate_pairs(entities: DataFrame, num_hashes: int = 16,
@@ -132,18 +130,26 @@ def lsh_candidate_pairs(entities: DataFrame, num_hashes: int = 16,
     Pass ``metrics_out`` (a dict) to receive ``dropped_buckets`` —
     counted off the same materialized sized frame the self-join reads,
     so pairs + metric cost one signature computation."""
-    # materialize the sized banded frame ONCE: aliasing the lazy plan
-    # as both self-join sides re-runs the whole minhash signature
+    # materialize the banded frame ONCE: aliasing the lazy plan as
+    # both self-join sides re-runs the whole minhash signature
     # pipeline per side (the dominant cost of canonicalize's blocking
-    # stage); the metric (when requested) reads the same materialized
-    # frame.  Same discipline as connected_components' edge set;
-    # materialize_once picks localCheckpoint vs persist by deployment.
-    sized = materialize_once(_lsh_banded(entities, num_hashes, bands))
-    if metrics_out is not None:
+    # stage).  With the metric requested the SIZED frame is
+    # materialized (cap filter lazy per consumer) so the dropped count
+    # reads the same frame; otherwise the cap filters first so
+    # degenerate over-cap buckets are never stored.  materialize_once
+    # picks localCheckpoint vs persist by deployment.
+    sized = _lsh_banded(entities, num_hashes, bands).withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band_key")))
+    if metrics_out is None:
+        kept = materialize_once(
+            sized.where(F.col("bucket_n") <= max_bucket).drop("bucket_n"))
+    else:
+        sized = materialize_once(sized)
         metrics_out["dropped_buckets"] = (
             sized.where(F.col("bucket_n") > max_bucket)
             .select("band_key").distinct().count())
-    kept = sized.where(F.col("bucket_n") <= max_bucket).drop("bucket_n")
+        kept = sized.where(F.col("bucket_n") <= max_bucket) \
+            .drop("bucket_n")
     a = kept.alias("a")
     b = kept.alias("b")
     pairs = (a.join(b, "band_key")
@@ -175,12 +181,15 @@ def dropped_buckets(entities: DataFrame, num_hashes: int = 16,
     """How many LSH buckets the cap skipped (metrics, not silent).
 
     Metric-only path over the generator's own band construction
-    (``_lsh_banded`` — no duplicated banding to hand-mirror); when you
-    also need the pairs, pass ``metrics_out`` to
+    (``_lsh_banded`` — no duplicated banding to hand-mirror),
+    aggregated with a map-side-combining groupBy: the generator's
+    windowed count would funnel a degenerate million-row bucket
+    (exactly what this measures) into one window task.  When you also
+    need the pairs, pass ``metrics_out`` to
     :func:`lsh_candidate_pairs` / :func:`canonicalize` instead."""
-    sized = _lsh_banded(entities, num_hashes, bands)
-    return (sized.where(F.col("bucket_n") > max_bucket)
-            .select("band_key").distinct().count())
+    banded = _lsh_banded(entities, num_hashes, bands)
+    return (banded.groupBy("band_key").count()
+            .where(F.col("count") > max_bucket).count())
 
 
 def _frame_sig(df: DataFrame, cols) -> tuple:
@@ -523,15 +532,19 @@ def canonicalize(mentions: DataFrame, num_hashes: int = 16,
     return linked, nodes, edges
 
 
-def _fused_salted_link(m: DataFrame, norm_to_node: DataFrame,
-                       salt: int = 8) -> DataFrame:
-    """Both arg lookups in ONE salted join: melt (row_key, side, norm)
-    long, join the canonical map once, pivot the sides back, rejoin.
+# the salt of the fused link is keyed on the melted row identity —
+# shared with scripts/skew_demo.py so the demo measures the exact
+# production shuffle keying (no hand-mirrored copy to drift)
+LINK_SALT_COLS = ("_rk1", "_rk2", "side")
 
-    The row key is a 128-bit column pair (two independent xxhash64
-    seeds over every mention column) — collision odds are negligible
-    even at 10^12 rows, and identical duplicate rows sharing a key
-    still link correctly (they pivot to the same node pair)."""
+
+def _keyed_long_mentions(m: DataFrame):
+    """(keyed, long) for the fused link: mention rows with the 128-bit
+    row-key pair, and the melted (row_key, side, norm) frame.  The row
+    key is two derived xxhash64 values over every mention column —
+    collision odds are negligible even at 10^12 rows, and identical
+    duplicate rows sharing a key still link correctly (they pivot to
+    the same node pair)."""
     cols = [F.col(c) for c in m.columns]
     keyed = m.withColumn("_rk1", F.xxhash64(*cols)) \
              .withColumn("_rk2", F.xxhash64(*cols, F.lit(1)))
@@ -541,8 +554,17 @@ def _fused_salted_link(m: DataFrame, norm_to_node: DataFrame,
             F.struct(F.lit("a1").alias("side"), F.col("_a1").alias("norm")),
             F.struct(F.lit("a2").alias("side"), F.col("_a2").alias("norm"))
         )).alias("s")).select("_rk1", "_rk2", "s.side", "s.norm")
+    return keyed, long
+
+
+def _fused_salted_link(m: DataFrame, norm_to_node: DataFrame,
+                       salt: int = 8) -> DataFrame:
+    """Both arg lookups in ONE salted join: melt (row_key, side, norm)
+    long, join the canonical map once, pivot the sides back, rejoin
+    (see ``_keyed_long_mentions`` for the row-key construction)."""
+    keyed, long = _keyed_long_mentions(m)
     hit = salted_join(long, norm_to_node, "norm", salt=salt,
-                      salt_cols=("_rk1", "_rk2", "side"))
+                      salt_cols=LINK_SALT_COLS)
     pivoted = (hit.groupBy("_rk1", "_rk2")
                .agg(F.max(F.when(F.col("side") == "a1",
                                  F.col("node_id"))).alias("arg1_node"),

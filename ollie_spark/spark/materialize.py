@@ -39,13 +39,22 @@ def materialize_once(df: DataFrame) -> DataFrame:
     - ``local[...]`` master (one JVM, this sandbox): ``localCheckpoint``
       — truncates lineage so every consumer scans the stored partitions.
       Fault tolerance is irrelevant in a single process.
-    - any other master (a real multi-executor cluster):
+    - any other master (a real multi-executor cluster, including
+      ``local-cluster[...]`` which has executors to lose):
       ``persist(MEMORY_AND_DISK)`` + count — an executor loss recomputes
       the lost partitions from lineage instead of failing the job, which
       ``localCheckpoint`` (unrecoverable partitions) would.
+
+    Cache lifetime on the cluster path is CALLER-OWNED: the returned
+    frame is consumed lazily by the generator's output, so this helper
+    cannot unpersist it.  Memory blocks are LRU-evictable (worst case:
+    recompute), but a long-lived session driving many pipeline runs
+    should ``spark.catalog.clearCache()`` between runs — persisted
+    entries, unlike localCheckpoint RDDs, are not GC-reclaimed while
+    the session holds references.
     """
     master = df.sparkSession.conf.get("spark.master", "")
-    if master.startswith("local"):
+    if master.startswith("local") and not master.startswith("local-cluster"):
         return df.localCheckpoint(eager=True)
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     df.count()

@@ -142,20 +142,23 @@ def minhash_band_pairs(docs: DataFrame, id_col: str = "doc_id",
     # both sides makes Spark compute the minhash signature pipeline
     # (and re-scan the source) independently per side — at web scale
     # the signature map dominates the dedup stage, so that doubles it.
-    # The checkpoint holds the SIZED frame (cap filter applied lazily
-    # per consumer): over-cap rows are stored once, which is strictly
-    # cheaper than the pre-r5 shape where the metric re-ran the whole
-    # signature pipeline; the window count shuffles every row anyway.
+    # When the metric is requested the materialized frame is the SIZED
+    # one (cap filter applied lazily per consumer) so pairs + metric
+    # cost one signature computation; otherwise the cap filters BEFORE
+    # materialization, so degenerate over-cap buckets are never stored.
     if max_bucket is None:
         banded = materialize_once(_minhash_banded(docs, id_col, text_col))
         if metrics_out is not None:
             metrics_out["dropped_bands"] = 0
+    elif metrics_out is None:
+        banded = materialize_once(
+            _minhash_sized(docs, id_col, text_col)
+            .where(F.col("_n") <= max_bucket).drop("_n"))
     else:
         sized = materialize_once(_minhash_sized(docs, id_col, text_col))
-        if metrics_out is not None:
-            metrics_out["dropped_bands"] = (
-                sized.where(F.col("_n") > max_bucket)
-                .select("band_key").distinct().count())
+        metrics_out["dropped_bands"] = (
+            sized.where(F.col("_n") > max_bucket)
+            .select("band_key").distinct().count())
         banded = sized.where(F.col("_n") <= max_bucket).drop("_n")
     a, b = banded.alias("a"), banded.alias("b")
     return (a.join(b, "band_key")
@@ -171,13 +174,16 @@ def minhash_dropped_bands(docs: DataFrame, id_col: str = "doc_id",
                           ) -> int:
     """How many band buckets the cap skipped (metrics, not silent).
 
-    Metric-only path; delegates to the generator's own band
-    construction (``_minhash_sized``).  When you also need the pairs,
+    Metric-only path; reads the generator's own band construction
+    (``_minhash_banded``) but aggregates with a map-side-combining
+    groupBy — the windowed ``_n`` the generator uses would funnel a
+    degenerate million-row bucket (exactly what this function exists
+    to measure) into one window task.  When you also need the pairs,
     pass ``metrics_out`` to :func:`minhash_band_pairs` instead — that
-    derives this count from the already-materialized frame."""
-    sized = _minhash_sized(docs, id_col, text_col)
-    return (sized.where(F.col("_n") > max_bucket)
-            .select("band_key").distinct().count())
+    derives this count from the already-materialized sized frame."""
+    banded = _minhash_banded(docs, id_col, text_col)
+    return (banded.groupBy("band_key").count()
+            .where(F.col("count") > max_bucket).count())
 
 
 def simhash16(text_col) -> Column:
@@ -267,20 +273,24 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
     pairs + metric; standalone ``ngram_dropped_blocks`` re-tokenizes
     and exists for metric-only callers)."""
     # one tokenization/source-scan for both join sides AND the metric
-    # (see minhash_band_pairs): the checkpoint holds the sized frame,
-    # the cap filter applies lazily per consumer
+    # (see minhash_band_pairs): with the metric requested the sized
+    # frame is materialized (filter lazy per consumer); without it the
+    # cap filters first so over-cap blocks are never stored
     if max_block is None:
         base, key_cols = _jaccard_blocked(docs, block_cols, tc_bucket)
         base = materialize_once(base)
         if metrics_out is not None:
             metrics_out["dropped_blocks"] = 0
+    elif metrics_out is None:
+        sized, key_cols = _jaccard_sized(docs, block_cols, tc_bucket)
+        base = materialize_once(
+            sized.where(F.col("_n") <= max_block).drop("_n"))
     else:
         sized, key_cols = _jaccard_sized(docs, block_cols, tc_bucket)
         sized = materialize_once(sized)
-        if metrics_out is not None:
-            metrics_out["dropped_blocks"] = (
-                sized.where(F.col("_n") > max_block)
-                .select(*key_cols).distinct().count())
+        metrics_out["dropped_blocks"] = (
+            sized.where(F.col("_n") > max_block)
+            .select(*key_cols).distinct().count())
         base = sized.where(F.col("_n") <= max_block).drop("_n")
     if tc_bucket is None:
         a, b = base.alias("a"), base.alias("b")
@@ -313,11 +323,13 @@ def ngram_dropped_blocks(docs: DataFrame, block_cols=("lang",),
     """How many Jaccard blocks the cap skipped (metrics, not silent).
 
     Metric-only path over the generator's own block construction
-    (``_jaccard_sized``); when you also need the pairs, pass
-    ``metrics_out`` to :func:`ngram_jaccard_pairs` instead."""
-    sized, key_cols = _jaccard_sized(docs, block_cols, tc_bucket)
-    return (sized.where(F.col("_n") > max_block)
-            .select(*key_cols).distinct().count())
+    (``_jaccard_blocked``), aggregated with a map-side-combining
+    groupBy (see minhash_dropped_bands for why not the windowed form);
+    when you also need the pairs, pass ``metrics_out`` to
+    :func:`ngram_jaccard_pairs` instead."""
+    base, key_cols = _jaccard_blocked(docs, block_cols, tc_bucket)
+    return (base.groupBy(*key_cols).count()
+            .where(F.col("count") > max_block).count())
 
 
 def text_quality(docs: DataFrame) -> DataFrame:
@@ -562,7 +574,11 @@ def embedding_neardup_pairs(vecs: DataFrame, threshold: float = 0.62,
         # max-dim probe fold into ONE agg job over the materialized
         # partitions, so the source parquet is scanned exactly once per
         # call (the pre-r5 shape ran count + max-dim against the raw
-        # source and then re-scanned it to materialize the cell frame)
+        # source and then re-scanned it to materialize the cell frame).
+        # The _cell column then derives LAZILY from this checkpoint —
+        # a per-row sign projection is cheaper to recompute per join
+        # side than a second full copy of the embedding corpus is to
+        # store.
         vecs = materialize_once(vecs)
         probe = vecs.agg(
             F.count("*").alias("n"),
@@ -572,13 +588,14 @@ def embedding_neardup_pairs(vecs: DataFrame, threshold: float = 0.62,
             # and deterministic, unlike first() on an unordered frame
             dim = int(probe["d"]) if probe["d"] is not None else 4
         bits = auto_cell_bits(probe["n"], dim=dim)
-    # materialize once: the probe side derives from the same frame, so
-    # without this the source is scanned (and cells computed) per side
-    # (the q12/q14/linking band-frame discipline).  In the auto-bits
-    # path this reads the vecs checkpoint, not the source — adding the
-    # small _cell string is the only new work.
-    base = materialize_once(
-        vecs.withColumn("_cell", sign_cell(F.col(vec_col), bits)))
+        base = vecs.withColumn("_cell", sign_cell(F.col(vec_col), bits))
+    else:
+        # explicit bits: one materialization of the cell frame — the
+        # probe side derives from the same frame, so without this the
+        # source is scanned (and cells computed) per side (the
+        # q12/q14/linking band-frame discipline)
+        base = materialize_once(
+            vecs.withColumn("_cell", sign_cell(F.col(vec_col), bits)))
     if multi_probe:
         probed = base.withColumn(
             "_probe", F.explode(probe_cells(F.col(vec_col), bits)))

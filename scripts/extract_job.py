@@ -66,7 +66,7 @@ def main():
 
         from ollie_spark.spark.job import build_graph
 
-        job_sec, stage_rows, stage_walls = None, None, None
+        job_sec, stage_rows, stage_walls, link_split = None, None, None, None
         for _ in range(max(1, args.repeat)):
             out_root = tempfile.mkdtemp(prefix="ollie-graph-")
             t0 = time.monotonic()
@@ -77,6 +77,7 @@ def main():
                 stage_rows = {k: v["rows"] for k, v in m.items()}
                 stage_walls = {k: round(v["wall_ms"] / 1000.0, 3)
                                for k, v in m.items()}
+                link_split = m.get("link", {}).get("split")
             shutil.rmtree(out_root, ignore_errors=True)
         print(json.dumps({
             "cores": cores,
@@ -88,6 +89,7 @@ def main():
             "job_sec": round(job_sec, 3),
             "stage_rows": stage_rows,
             "stage_walls": stage_walls,
+            "link_split": link_split,
         }))
         spark.stop()
         return

@@ -101,27 +101,18 @@ def run_leg(spark, m, salt: int):
         n_linked = linked.count()
         wall = time.monotonic() - t0
 
-        # reducer-side distribution evidence, recomputed the way
-        # salted_join keys the shuffle: rows per (norm, _salt) shuffle
+        # reducer-side distribution evidence, keyed EXACTLY the way
+        # the production join keys its shuffle (shared helpers — no
+        # hand-mirrored copy to drift): rows per (norm, _salt) shuffle
         # key for the hot entity, and rows per actual post-shuffle
         # partition of the joined frame (spark_partition_id on the
         # shuffled-join output = task input)
-        from ollie_spark.spark.linking import salted_join
-        cols = ["_rk1", "_rk2", "side"]
-        keyed = mm.withColumn(
-            "_rk1", F.xxhash64(*[F.col(c) for c in mm.columns])) \
-            .withColumn("_rk2", F.xxhash64(*[F.col(c) for c in mm.columns],
-                                           F.lit(1)))
-        long = keyed.select(
-            "_rk1", "_rk2",
-            F.explode(F.array(
-                F.struct(F.lit("a1").alias("side"),
-                         F.col("_a1").alias("norm")),
-                F.struct(F.lit("a2").alias("side"),
-                         F.col("_a2").alias("norm"))
-            )).alias("s")).select("_rk1", "_rk2", "s.side", "s.norm")
+        from ollie_spark.spark.linking import (LINK_SALT_COLS,
+                                               _keyed_long_mentions,
+                                               salted_join)
+        _, long = _keyed_long_mentions(mm)
         hit = salted_join(long, norm_to_node, "norm", salt=salt,
-                          keep_salt=True, salt_cols=cols)
+                          keep_salt=True, salt_cols=LINK_SALT_COLS)
         hot_by_salt = [r["count"] for r in
                        hit.where(F.col("norm") == HOT)
                        .groupBy("_salt").count().collect()]
