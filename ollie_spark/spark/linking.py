@@ -462,14 +462,41 @@ def canonicalize(mentions: DataFrame, num_hashes: int = 16,
       two, and the skewed lookup shuffles only narrow rows.
 
     ``metrics_out`` (optional dict) receives the stage wall-time split
-    — ``lsh_cc_sec`` (blocking + connected components, eager) and
+    — ``normalize_sec`` (one materialized pass of argument
+    normalization that every downstream consumer reads),
+    ``lsh_cc_sec`` (blocking + connected components, eager) and
     ``canon_map_sec`` (canonical-map materialize + count) — plus
     ``dropped_buckets``, counted off the blocking stage's own
     materialized band frame (no second signature computation).
     """
     import time as _time
 
-    ments = entity_mentions(mentions)
+    # annotate + MATERIALIZE the normalized argument columns ONCE: a
+    # filter or join key on an aliased computed column is pushed
+    # through the projection and re-inlined (PushDownPredicate — the
+    # Catalyst CSE trap, CLAUDE.md), so without a materialization
+    # barrier the 4-regex normalize chain ran 2-3x per row per
+    # consumer AND the counts rollup, the linked join, and the edges
+    # rollup each re-evaluated the whole normalization from scratch
+    # (measured 21s + 17s + 17s per evaluation at 480k docs / 16
+    # cores; the one materialized pass is ~10s and every downstream
+    # evaluation reads stored columns).
+    t0 = _time.monotonic()
+    m_ann = materialize_once(
+        mentions
+        .withColumn("_a1", normalize_entity(F.col("arg1_text")))
+        .withColumn("_a2", normalize_entity(F.col("arg2_text"))))
+    if metrics_out is not None:
+        metrics_out["normalize_sec"] = round(_time.monotonic() - t0, 3)
+
+    # melt the stored norm columns (entity_mentions' shape, minus the
+    # re-normalization it would do from raw text)
+    ments = (m_ann.select(F.col("arg1_text").alias("text"),
+                          F.col("_a1").alias("norm"))
+             .unionByName(
+                 m_ann.select(F.col("arg2_text").alias("text"),
+                              F.col("_a2").alias("norm")))
+             .where(F.col("norm") != ""))
     surface_counts = ments.groupBy("norm", "text").count()
     # persist: this per-distinct-entity frame (tiny next to mentions)
     # feeds the LSH signatures, the CC vertex set, the isolated-vertex
@@ -508,9 +535,10 @@ def canonicalize(mentions: DataFrame, num_hashes: int = 16,
 
     norm_to_node = canon.select("norm", "node_id")
 
-    m = (mentions
-         .withColumn("_a1", normalize_entity(F.col("arg1_text")))
-         .withColumn("_a2", normalize_entity(F.col("arg2_text"))))
+    # both link paths read the materialized normalized frame — no
+    # re-normalization, and the edges rollup's repeated evaluations of
+    # `linked` scan stored columns instead of re-running the pipeline
+    m = m_ann
 
     if n_map <= broadcast_map_threshold:
         j1 = m.join(F.broadcast(
