@@ -43,10 +43,19 @@ DETERMINERS = ("the", "a", "an", "this", "that", "these", "those", "some",
 
 
 def normalize_entity(col):
-    """lowercase, strip punctuation, drop a leading determiner."""
+    """lowercase, strip punctuation, drop a leading determiner.
+
+    One fused pass replaces the former punctuation-strip +
+    whitespace-collapse pair: any maximal run of non-alphanumerics
+    (spaces included) becomes a single space, which is exactly what
+    ``[^a-z0-9 ] -> ' '`` followed by ``\\s+ -> ' '`` produced —
+    value-equivalence is pinned by
+    test_linking.test_normalize_fused_regex_matches_legacy_chain, and
+    the kg_graph_edges DuckDB recompute oracle still spells the legacy
+    two-pass form, so the engines cross-check the equivalence on real
+    data every run."""
     c = F.lower(col)
-    c = F.regexp_replace(c, r"[^a-z0-9 ]", " ")
-    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.regexp_replace(c, r"[^a-z0-9]+", " ")
     c = F.trim(c)
     det = "|".join(DETERMINERS)
     c = F.regexp_replace(c, r"^(?:" + det + r") ", "")

@@ -49,6 +49,35 @@ def test_lsh_finds_near_duplicates(spark):
     assert not any("noah chen" in p for pr in pairs for p in pr)
 
 
+def test_normalize_fused_regex_matches_legacy_chain(spark):
+    """r5 perf: normalize_entity fuses punctuation-strip + whitespace
+    collapse into one regex pass; it must be value-identical to the
+    legacy two-pass chain on every input shape (unicode punctuation,
+    tabs/newlines, leading determiners, all-junk strings)."""
+    from pyspark.sql import functions as F
+    from ollie_spark.spark.linking import DETERMINERS, normalize_entity
+
+    def legacy(col):
+        c = F.lower(col)
+        c = F.regexp_replace(c, r"[^a-z0-9 ]", " ")
+        c = F.regexp_replace(c, r"\s+", " ")
+        c = F.trim(c)
+        det = "|".join(DETERMINERS)
+        c = F.regexp_replace(c, r"^(?:" + det + r") ", "")
+        return F.trim(c)
+
+    texts = ["The  Acme, Corp.!!", "  a\tdog\n", "£$%^", "", "the",
+             "an apple — fruit", "O'Brien & Sons", "café au lait",
+             "this THAT those", "x", "every 9th street", "木漢字",
+             "a-b_c.d", "  the   the  thing  "]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    rows = df.select("t", normalize_entity(F.col("t")).alias("new"),
+                     legacy(F.col("t")).alias("old")).collect()
+    for r in rows:
+        assert r.new == r.old, f"normalize drift on {r.t!r}: " \
+                               f"{r.new!r} vs {r.old!r}"
+
+
 def test_lsh_fused_metric_agrees_with_standalone(spark):
     """r5 judge item 1: lsh_candidate_pairs' metrics_out dropped-bucket
     count reads the generator's own materialized band frame and must
