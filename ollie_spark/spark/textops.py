@@ -399,7 +399,12 @@ def lang_scores(text_col):
         for lang, markers in LANG_MARKERS]
     scores.append(
         ("zh", F.length(
-            F.regexp_replace(text_col, f"[^{CJK_RANGE}]", ""))
+            # run-consuming + (not a bare char class): an unquantified
+            # single-char class costs one Java-regex match attempt +
+            # replacement PER CHARACTER of every document (the
+            # normalize_entity 10x lesson, linking.py); deleting runs
+            # is value-identical
+            F.regexp_replace(text_col, f"[^{CJK_RANGE}]+", ""))
          .cast("long")))
     return scores
 
@@ -462,7 +467,7 @@ def lang_id_oracle_sql(text_expr: str = "text") -> str:
              f"w -> w IN ({inlist})))"))
     counts.append(
         ("zh",
-         f"length(regexp_replace({text_expr}, '[^{CJK_RANGE}]', '', 'g'))"))
+         f"length(regexp_replace({text_expr}, '[^{CJK_RANGE}]+', '', 'g'))"))
     cases = []
     for i, (lang, s) in enumerate(counts):
         conds = [f"{s} > 0"] + [f"{s} >= {s2}" for _, s2 in counts[i + 1:]]
