@@ -76,7 +76,25 @@ def test_q14_jaccard_join_reads_one_checkpointed_frame(spark):
     assert "split(text" not in plan, "tokenization leaked into join plan"
 
 
-def test_whole_stage_codegen_on_relational(spark):
+def test_linked_and_edges_plans_carry_no_normalization(spark):
+    """r5 normalize-materialization contract: canonicalize's returned
+    linked/edges frames must read the materialized _a1/_a2 columns —
+    if the 3-regex normalize chain leaks back into their plans (the
+    PushDownPredicate re-inlining trap), every downstream evaluation
+    re-normalizes the full mention set (measured 20s/eval at 480k
+    docs before the fix)."""
+    from ollie_spark.spark.linking import canonicalize
+
+    m = spark.createDataFrame(
+        [("d1", 0, "The Cat", "chased", "a dog", 0.9, 0.9, "p")],
+        "doc_id string, span_idx int, arg1_text string, rel_text "
+        "string, arg2_text string, openparse_conf double, conf "
+        "double, pattern string")
+    linked, nodes, edges = canonicalize(m)
+    for name, df in (("linked", linked), ("edges", edges)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "regexp_replace" not in plan, \
+            f"normalization leaked back into the {name} plan:\n{plan}"
     df = em.queries()["q01_pricing_summary"](spark, SF)
     df.collect()  # finalize the adaptive plan
     plan = df._jdf.queryExecution().executedPlan().toString()
