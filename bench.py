@@ -87,14 +87,22 @@ def main():
     from ollie_spark.spark.linking import canonicalize
     t0 = time.monotonic()
     link_split = {}
-    _, nodes, edges = canonicalize(mentions, metrics_out=link_split)
+    link_caches = []
+    _, nodes, edges = canonicalize(mentions, metrics_out=link_split,
+                                   caches_out=link_caches)
     n_nodes, n_edges = nodes.count(), edges.count()
+    for c in link_caches:  # release full-corpus caches post-count
+        c.unpersist()
     timings["kg_link"] = round(time.monotonic() - t0, 3)
+    timings["kg_link_normalize"] = link_split.get("normalize_sec", 0.0)
     timings["kg_link_lsh_cc"] = link_split.get("lsh_cc_sec", 0.0)
     timings["kg_link_map"] = link_split.get("canon_map_sec", 0.0)
+    # the join residual excludes every named sub-stage (r6: normalize
+    # runs eagerly inside the kg_link wall too — without subtracting it
+    # the "join" line silently absorbed ~10s of normalization at 480k)
     timings["kg_link_join"] = round(
-        timings["kg_link"] - timings["kg_link_lsh_cc"]
-        - timings["kg_link_map"], 3)
+        timings["kg_link"] - timings["kg_link_normalize"]
+        - timings["kg_link_lsh_cc"] - timings["kg_link_map"], 3)
 
     total = round(time.monotonic() - t_total0, 3)
     out = {

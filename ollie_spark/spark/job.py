@@ -49,15 +49,23 @@ def build_graph(spark: SparkSession, documents: DataFrame, root: str,
     import time as _time
 
     link_split: dict = {}
+    link_caches: list = []
     t0 = _time.monotonic()
     linked, nodes, edges = canonicalize(mentions_t, salt=salt,
-                                        metrics_out=link_split)
+                                        metrics_out=link_split,
+                                        caches_out=link_caches)
     metrics["link"] = {
         "stage": "link", "buckets": [], "rows": 0,
         "wall_ms": int((_time.monotonic() - t0) * 1000),
         "run_id": "", "split": link_split}
     metrics["nodes"] = w.run_stage("nodes", nodes, key="node_id")
     metrics["edges"] = w.run_stage("edges", edges, key="src_node")
+    # nodes/edges are on disk and nary reads the mentions parquet —
+    # release canonicalize's full-corpus caches so repeated
+    # build_graph calls in one session don't stack them (no-op on the
+    # localCheckpoint path, real release on the cluster persist path)
+    for c in link_caches:
+        c.unpersist()
 
     # n-ary rollup over the materialized mentions
     metrics["nary"] = w.run_stage("nary", nary_extractions(mentions_t))

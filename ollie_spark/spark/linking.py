@@ -34,7 +34,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ollie_spark.spark.materialize import materialize_once
 
@@ -142,23 +141,26 @@ def lsh_candidate_pairs(entities: DataFrame, num_hashes: int = 16,
     # materialize the banded frame ONCE: aliasing the lazy plan as
     # both self-join sides re-runs the whole minhash signature
     # pipeline per side (the dominant cost of canonicalize's blocking
-    # stage).  With the metric requested the SIZED frame is
-    # materialized (cap filter lazy per consumer) so the dropped count
-    # reads the same frame; otherwise the cap filters first so
-    # degenerate over-cap buckets are never stored.  materialize_once
-    # picks localCheckpoint vs persist by deployment.
-    sized = _lsh_banded(entities, num_hashes, bands).withColumn(
-        "bucket_n", F.count("*").over(Window.partitionBy("band_key")))
-    if metrics_out is None:
-        kept = materialize_once(
-            sized.where(F.col("bucket_n") <= max_bucket).drop("bucket_n"))
-    else:
-        sized = materialize_once(sized)
+    # stage).  Bucket sizes come from a map-side-combining
+    # groupBy(band_key) over the materialized frame + an equi-join
+    # back (r6): the former window count colocated every row of a
+    # band on ONE task — the most degenerate bucket (the exact case
+    # the cap catches) funneled through a single task before the cap
+    # could drop it; the groupBy shuffles only (band_key,
+    # partial-count) rows and AQE can skew-split the join, which a
+    # window cannot.  The dropped metric is one count over the sizes
+    # frame — still no second signature computation.
+    banded = materialize_once(_lsh_banded(entities, num_hashes, bands))
+    sizes = banded.groupBy("band_key").agg(
+        F.count("*").alias("bucket_n"))
+    if metrics_out is not None:
+        # sizes is one row per band_key: this IS the distinct count
         metrics_out["dropped_buckets"] = (
-            sized.where(F.col("bucket_n") > max_bucket)
-            .select("band_key").distinct().count())
-        kept = sized.where(F.col("bucket_n") <= max_bucket) \
-            .drop("bucket_n")
+            sizes.where(F.col("bucket_n") > max_bucket).count())
+    kept = materialize_once(
+        banded.join(sizes.where(F.col("bucket_n") <= max_bucket),
+                    "band_key")
+        .drop("bucket_n"))
     a = kept.alias("a")
     b = kept.alias("b")
     pairs = (a.join(b, "band_key")
@@ -191,11 +193,10 @@ def dropped_buckets(entities: DataFrame, num_hashes: int = 16,
 
     Metric-only path over the generator's own band construction
     (``_lsh_banded`` — no duplicated banding to hand-mirror),
-    aggregated with a map-side-combining groupBy: the generator's
-    windowed count would funnel a degenerate million-row bucket
-    (exactly what this measures) into one window task.  When you also
-    need the pairs, pass ``metrics_out`` to
-    :func:`lsh_candidate_pairs` / :func:`canonicalize` instead."""
+    aggregated with a map-side-combining groupBy — the same sizing
+    shape the generator itself uses since r6 (no window funnel on
+    either path).  When you also need the pairs, pass ``metrics_out``
+    to :func:`lsh_candidate_pairs` / :func:`canonicalize` instead."""
     banded = _lsh_banded(entities, num_hashes, bands)
     return (banded.groupBy("band_key").count()
             .where(F.col("count") > max_bucket).count())
@@ -453,7 +454,8 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
 def canonicalize(mentions: DataFrame, num_hashes: int = 16,
                  bands: int = 8, salt: int = 8,
                  broadcast_map_threshold: int = 1_000_000,
-                 metrics_out: dict | None = None):
+                 metrics_out: dict | None = None,
+                 caches_out: list | None = None):
     """-> (linked_mentions, nodes, edges) DataFrames.
 
     nodes(node_id, canonical, aliases, mention_count)
@@ -477,6 +479,16 @@ def canonicalize(mentions: DataFrame, num_hashes: int = 16,
     ``canon_map_sec`` (canonical-map materialize + count) — plus
     ``dropped_buckets``, counted off the blocking stage's own
     materialized band frame (no second signature computation).
+
+    ``caches_out`` (optional list) receives the two full-corpus cached
+    frames this call creates — ``m_ann`` (annotated mentions) and
+    ``canon`` (the canonical map) — so callers can ``unpersist()`` them
+    once the returned frames are materialized (written / collected).
+    On the cluster path ``materialize_once`` persists but cannot know
+    the consumer lifetime; without a release, repeated canonicalize()
+    calls in a long-lived session stack full-corpus caches.  (The
+    remaining internal frames are per-distinct-entity — orders of
+    magnitude smaller — and LRU-evictable.)
     """
     import time as _time
 
@@ -495,6 +507,8 @@ def canonicalize(mentions: DataFrame, num_hashes: int = 16,
         mentions
         .withColumn("_a1", normalize_entity(F.col("arg1_text")))
         .withColumn("_a2", normalize_entity(F.col("arg2_text"))))
+    if caches_out is not None:
+        caches_out.append(m_ann)
     if metrics_out is not None:
         metrics_out["normalize_sec"] = round(_time.monotonic() - t0, 3)
 
@@ -528,6 +542,8 @@ def canonicalize(mentions: DataFrame, num_hashes: int = 16,
     canon = (counts.join(comp, "norm")
              .withColumn("node_id", F.col("component"))
              .persist())
+    if caches_out is not None:
+        caches_out.append(canon)
     n_map = canon.count()
     # counts' last consumer just materialized into the canon cache —
     # release it so repeated canonicalize() calls don't stack caches.

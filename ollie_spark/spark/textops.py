@@ -18,7 +18,6 @@ import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ollie_spark.spark.materialize import materialize_once
 
@@ -115,12 +114,24 @@ def _minhash_banded(docs: DataFrame, id_col: str,
 
 
 def _minhash_sized(docs: DataFrame, id_col: str,
-                   text_col: str) -> DataFrame:
-    """Banded frame + per-bucket size ``_n`` (one window count) — the
-    SINGLE band construction both the pair generator and the dropped
-    metric read, so the two can never drift apart."""
-    return _minhash_banded(docs, id_col, text_col).withColumn(
-        "_n", F.count("*").over(Window.partitionBy("band_key")))
+                   text_col: str) -> tuple:
+    """(banded frame MATERIALIZED once, per-bucket sizes) — the SINGLE
+    band construction both the pair generator and the dropped metric
+    read, so the two can never drift apart.
+
+    The sizes come from a map-side-combining ``groupBy(band_key)``
+    (r6): the former spelling was ``count(*) over (partition by
+    band_key)``, which colocates EVERY row of a band on one window
+    task — so the most degenerate band (the exact case the cap exists
+    to catch) funneled through a single task *before* the cap could
+    drop it.  The groupBy shuffles only (band_key, partial-count) rows
+    and the join back is an equi-join AQE can skew-split, which a
+    window cannot.  The banded frame must be materialized first: both
+    the agg and the join read it, and deriving sizes from the lazy
+    plan would re-run the signature pipeline per consumer."""
+    banded = materialize_once(_minhash_banded(docs, id_col, text_col))
+    sizes = banded.groupBy("band_key").agg(F.count("*").alias("_n"))
+    return banded, sizes
 
 
 def minhash_band_pairs(docs: DataFrame, id_col: str = "doc_id",
@@ -142,24 +153,26 @@ def minhash_band_pairs(docs: DataFrame, id_col: str = "doc_id",
     # both sides makes Spark compute the minhash signature pipeline
     # (and re-scan the source) independently per side — at web scale
     # the signature map dominates the dedup stage, so that doubles it.
-    # When the metric is requested the materialized frame is the SIZED
-    # one (cap filter applied lazily per consumer) so pairs + metric
-    # cost one signature computation; otherwise the cap filters BEFORE
-    # materialization, so degenerate over-cap buckets are never stored.
+    # The capped path materializes twice (the narrow banded frame the
+    # sizing agg + join read, then the capped frame the self-join
+    # scans) — the linear-storage cost of sizing buckets without a
+    # window funnel (see _minhash_sized); the dropped metric is one
+    # count over the already-computed sizes frame, no second signature
+    # pass.
     if max_bucket is None:
         banded = materialize_once(_minhash_banded(docs, id_col, text_col))
         if metrics_out is not None:
             metrics_out["dropped_bands"] = 0
-    elif metrics_out is None:
-        banded = materialize_once(
-            _minhash_sized(docs, id_col, text_col)
-            .where(F.col("_n") <= max_bucket).drop("_n"))
     else:
-        sized = materialize_once(_minhash_sized(docs, id_col, text_col))
-        metrics_out["dropped_bands"] = (
-            sized.where(F.col("_n") > max_bucket)
-            .select("band_key").distinct().count())
-        banded = sized.where(F.col("_n") <= max_bucket).drop("_n")
+        raw, sizes = _minhash_sized(docs, id_col, text_col)
+        if metrics_out is not None:
+            # sizes is one row per band_key, so this IS the distinct
+            # dropped-bucket count
+            metrics_out["dropped_bands"] = (
+                sizes.where(F.col("_n") > max_bucket).count())
+        banded = materialize_once(
+            raw.join(sizes.where(F.col("_n") <= max_bucket), "band_key")
+            .drop("_n"))
     a, b = banded.alias("a"), banded.alias("b")
     return (a.join(b, "band_key")
             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -175,12 +188,12 @@ def minhash_dropped_bands(docs: DataFrame, id_col: str = "doc_id",
     """How many band buckets the cap skipped (metrics, not silent).
 
     Metric-only path; reads the generator's own band construction
-    (``_minhash_banded``) but aggregates with a map-side-combining
-    groupBy — the windowed ``_n`` the generator uses would funnel a
-    degenerate million-row bucket (exactly what this function exists
-    to measure) into one window task.  When you also need the pairs,
-    pass ``metrics_out`` to :func:`minhash_band_pairs` instead — that
-    derives this count from the already-materialized sized frame."""
+    (``_minhash_banded``) and aggregates with the same
+    map-side-combining groupBy the generator uses (since r6 the
+    generator sizes buckets this way too — no window funnel on either
+    path).  When you also need the pairs, pass ``metrics_out`` to
+    :func:`minhash_band_pairs` instead — that derives this count from
+    the generator's own sizes frame without re-running signatures."""
     banded = _minhash_banded(docs, id_col, text_col)
     return (banded.groupBy("band_key").count()
             .where(F.col("count") > max_bucket).count())
@@ -238,12 +251,16 @@ def _jaccard_blocked(docs: DataFrame, block_cols, tc_bucket):
 
 
 def _jaccard_sized(docs: DataFrame, block_cols, tc_bucket):
-    """(sized base, block key cols): the blocked frame + per-block size
-    ``_n`` — the single block construction the pair generator and the
-    dropped metric both read."""
+    """(base MATERIALIZED, per-block sizes, block key cols): the single
+    block construction the pair generator and the dropped metric both
+    read.  Sizes come from a map-side-combining groupBy over the block
+    key, not a window — a window colocates a degenerate block's every
+    row on one task before the cap can drop it (see _minhash_sized for
+    the full rationale; same r6 fix)."""
     base, key_cols = _jaccard_blocked(docs, block_cols, tc_bucket)
-    return base.withColumn(
-        "_n", F.count("*").over(Window.partitionBy(*key_cols))), key_cols
+    base = materialize_once(base)
+    sizes = base.groupBy(*key_cols).agg(F.count("*").alias("_n"))
+    return base, sizes, key_cols
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
@@ -273,25 +290,25 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
     pairs + metric; standalone ``ngram_dropped_blocks`` re-tokenizes
     and exists for metric-only callers)."""
     # one tokenization/source-scan for both join sides AND the metric
-    # (see minhash_band_pairs): with the metric requested the sized
-    # frame is materialized (filter lazy per consumer); without it the
-    # cap filters first so over-cap blocks are never stored
+    # (see minhash_band_pairs): the capped path materializes the
+    # blocked frame once for the sizing agg + join, then the capped
+    # frame the self-join scans; the dropped metric is one count over
+    # the sizes frame (no second tokenization)
     if max_block is None:
         base, key_cols = _jaccard_blocked(docs, block_cols, tc_bucket)
         base = materialize_once(base)
         if metrics_out is not None:
             metrics_out["dropped_blocks"] = 0
-    elif metrics_out is None:
-        sized, key_cols = _jaccard_sized(docs, block_cols, tc_bucket)
-        base = materialize_once(
-            sized.where(F.col("_n") <= max_block).drop("_n"))
     else:
-        sized, key_cols = _jaccard_sized(docs, block_cols, tc_bucket)
-        sized = materialize_once(sized)
-        metrics_out["dropped_blocks"] = (
-            sized.where(F.col("_n") > max_block)
-            .select(*key_cols).distinct().count())
-        base = sized.where(F.col("_n") <= max_block).drop("_n")
+        raw, sizes, key_cols = _jaccard_sized(docs, block_cols, tc_bucket)
+        if metrics_out is not None:
+            # sizes is one row per block key, so this IS the distinct
+            # dropped-block count
+            metrics_out["dropped_blocks"] = (
+                sizes.where(F.col("_n") > max_block).count())
+        base = materialize_once(
+            raw.join(sizes.where(F.col("_n") <= max_block), key_cols)
+            .drop("_n"))
     if tc_bucket is None:
         a, b = base.alias("a"), base.alias("b")
         cond = (F.col("a.tc") == F.col("b.tc")) \
@@ -323,9 +340,9 @@ def ngram_dropped_blocks(docs: DataFrame, block_cols=("lang",),
     """How many Jaccard blocks the cap skipped (metrics, not silent).
 
     Metric-only path over the generator's own block construction
-    (``_jaccard_blocked``), aggregated with a map-side-combining
-    groupBy (see minhash_dropped_bands for why not the windowed form);
-    when you also need the pairs, pass ``metrics_out`` to
+    (``_jaccard_blocked``), aggregated with the same
+    map-side-combining groupBy the generator's sizing uses (r6); when
+    you also need the pairs, pass ``metrics_out`` to
     :func:`ngram_jaccard_pairs` instead."""
     base, key_cols = _jaccard_blocked(docs, block_cols, tc_bucket)
     return (base.groupBy(*key_cols).count()

