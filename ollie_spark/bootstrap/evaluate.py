@@ -104,6 +104,66 @@ def paired_bootstrap_significance(scored_a: DataFrame,
     return worse / iterations
 
 
+def feature_evaluation(mentions: DataFrame,
+                       label_col: str | None = None) -> DataFrame:
+    """Per-extraction feature dump (confidence/OllieFeatureEvaluation.
+    scala:80-100): one row per extraction with its confidence plus one
+    column per named classifier feature, feature names sorted — the
+    reference filters to weights that exist and sorts
+    (``featureNames.filter(weights.get(_).isDefined).toList.sorted``),
+    which is exactly the canonical array order the Spark pipeline
+    already uses (``features.feature_names == sorted(weights)``), so
+    the dump is a positional unpack of the ``features`` array.
+
+    Input is the PRE-filter mention frame (still carrying ``features``,
+    i.e. ``extract_mentions`` output before ``_score_and_filter`` drops
+    the array).  ``conf`` is added with the same native-SQL sigmoid the
+    pipeline uses if the frame isn't scored yet.  When ``label_col``
+    names a 0/1 gold column, the reference's running yield / precision
+    columns are added over the confidence-descending order (its
+    ``Analysis.precisionYieldMeta`` scan).
+
+    Shape at scale: pure projection (array indexing, no shuffle); the
+    optional yield/precision pair is a global ordered window, same as
+    ``precision_yield`` — an eval-table concern, not a pipeline stage.
+    """
+    from ..extract.features import feature_names
+    from ..model.loader import load_classifier
+
+    intercept, weights = load_classifier()
+    order = feature_names(weights)
+
+    df = mentions
+    if "error" in df.columns:
+        df = df.where(F.col("error").isNull())
+    if "conf" not in df.columns:
+        from ..spark.pipeline import score as _score
+        df = _score(df, intercept, [weights[n] for n in order])
+
+    base = [
+        F.col("conf"),
+        F.col("openparse_conf").alias("op_conf"),
+        F.concat_ws("; ", "arg1_text", "rel_text", "arg2_text")
+        .alias("extr"),
+        F.col("enabler").isNotNull().alias("has_enabler"),
+        F.col("attribution").isNotNull().alias("has_attribution"),
+        F.col("doc_id"), F.col("span_idx"), F.col("sent_idx"),
+    ]
+    feats = [F.col("features")[i].alias(n) for i, n in enumerate(order)]
+
+    if label_col is not None:
+        w = (Window.orderBy(F.desc("conf"), "extr")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        return (df.select(F.col(label_col).cast("int").alias("score"),
+                          *base, *feats)
+                .withColumn("yld", F.sum("score").over(w))
+                .withColumn("precision",
+                            F.col("yld").cast("double")
+                            / F.count("*").over(w))
+                .orderBy(F.desc("conf"), "extr"))
+    return df.select(*base, *feats).orderBy(F.desc("conf"), "extr")
+
+
 def group_scored_by(scored: DataFrame, column: str) -> DataFrame:
     return (scored.groupBy(column)
             .agg(F.avg(F.col("label").cast("double")).alias("precision"),

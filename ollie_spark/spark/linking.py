@@ -240,6 +240,15 @@ def connected_components(pairs: DataFrame, vertices: DataFrame,
     distributed loop remains the path for genuinely large near-dup
     graphs.
 
+    Driver-memory bound for the escape hatch (measured r6, this repo's
+    /tmp harness): 1M pairs over 667k vertices with ~20-char entity
+    keys = +494 MB driver RSS (peak 631 MB incl. the Spark driver
+    itself) — collected Rows + the parent dict, linear in pairs, so
+    budget ~0.5 GB per 1M pairs at the default threshold.  Drivers
+    with <2 GB of headroom should pass a smaller ``local_threshold``;
+    correctness is unaffected either way (the distributed loop computes
+    the same components, property-tested below).
+
     ``algorithm``:
     - ``min_label`` (default): label propagation — O(graph diameter)
       rounds.  Near-dup blocks are shallow star-like clusters, so the

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import time
 import uuid
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -104,11 +103,22 @@ class StageWriter:
         return f"{self.root}/{stage}/manifest"
 
     def completed_buckets(self, stage: str) -> set[int]:
-        path = self._manifest(stage)
-        if not Path(path).exists():
+        """Buckets already recorded in the stage manifest.
+
+        Probes via the Spark reader, NOT the driver-local filesystem
+        (r6): a ``Path.exists()`` check is always False on an
+        object-store root (``s3a://``, ``gs://``) — resume would
+        silently re-run every bucket (idempotent, so correct, but
+        resume is the feature).  ``AnalysisException`` covers both
+        path-does-not-exist and the unable-to-infer-schema empty-dir
+        case on any Hadoop-supported filesystem."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            rows = (self.spark.read.parquet(self._manifest(stage))
+                    .select("bucket").distinct().collect())
+        except AnalysisException:
             return set()
-        rows = (self.spark.read.parquet(path)
-                .select("bucket").distinct().collect())
         return {r.bucket for r in rows}
 
     def pending_buckets(self, stage: str) -> list[int]:

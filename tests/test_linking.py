@@ -325,6 +325,25 @@ def test_stage_writer_resume(spark, mentions, tmp_path):
     assert metrics.select("bucket").distinct().count() == 8
 
 
+def test_stage_writer_resume_scheme_qualified_root(spark, mentions,
+                                                   tmp_path):
+    """r6: manifest probe must work on Hadoop-FS URIs, not just
+    driver-local paths — completed_buckets probes via spark.read
+    (AnalysisException = no manifest yet), so resume survives an
+    object-store root.  Exercised with an explicit file: scheme."""
+    root = "file://" + str(tmp_path / "uri_root")
+    w = StageWriter(spark, root, n_buckets=4)
+    assert w.completed_buckets("mentions") == set()   # no-manifest path
+    w.run_stage("mentions", mentions, buckets=[0, 1])
+    assert sorted(w.completed_buckets("mentions")) == [0, 1]
+    # a FRESH writer (new run, same root) resumes just the remainder
+    r = StageWriter(spark, root, n_buckets=4).run_stage("mentions",
+                                                        mentions)
+    assert sorted(r["buckets"]) == [2, 3]
+    assert spark.read.parquet(f"{root}/mentions/data").count() \
+        == mentions.count()
+
+
 def test_canonicalize_merges_alias_surface_forms(spark):
     """'Acme Corporation' and 'the Acme Corp' mentions resolve to one
     canonical node through blocking + CC + salted join."""

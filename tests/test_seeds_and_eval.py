@@ -87,6 +87,53 @@ def test_paired_bootstrap_significance(spark):
     assert p_self == 1.0
 
 
+def test_feature_evaluation_dump(spark):
+    """OllieFeatureEvaluation parity (confidence/OllieFeatureEvaluation
+    .scala:80-100): one column per named feature in the reference's
+    sorted order, and the dumped columns reproduce conf exactly —
+    sigmoid(intercept + w·f) recomputed row-by-row from the table."""
+    import math
+
+    from ollie_spark.bootstrap.evaluate import feature_evaluation
+    from ollie_spark.extract.features import feature_names
+    from ollie_spark.model.loader import load_classifier
+    from ollie_spark.spark.corpus import corpus
+    from ollie_spark.spark.pipeline import extract_mentions, sentences
+
+    intercept, weights = load_classifier()
+    order = feature_names(weights)
+    m = extract_mentions(sentences(corpus(spark, 30, seed=7,
+                                          partitions=2)))
+    fe = feature_evaluation(m)
+    assert fe.columns[-len(order):] == order
+    rows = fe.collect()
+    assert rows
+    for r in rows[:25]:
+        z = intercept + sum(weights[n] * r[n] for n in order)
+        assert abs(r.conf - 1.0 / (1.0 + math.exp(-z))) < 1e-9
+    confs = [r.conf for r in rows]
+    assert confs == sorted(confs, reverse=True)
+
+
+def test_feature_evaluation_labeled_adds_yield_precision(spark):
+    """With a gold label column the dump grows the reference's running
+    yield / precision pair over the conf-descending scan."""
+    from ollie_spark.bootstrap.evaluate import feature_evaluation
+    from ollie_spark.spark.corpus import corpus
+    from ollie_spark.spark.pipeline import extract_mentions, sentences
+
+    m = (extract_mentions(sentences(corpus(spark, 20, seed=11,
+                                           partitions=2)))
+         .withColumn("gold", (F.col("span_idx") % 2 == 0).cast("int")))
+    fe = feature_evaluation(m, label_col="gold").collect()
+    assert fe
+    run = 0
+    for i, r in enumerate(fe, start=1):
+        run += r.score
+        assert r.yld == run
+        assert abs(r.precision - run / i) < 1e-12
+
+
 def test_brat_output():
     from ollie_spark.extract.ollie import Ollie
     from ollie_spark.extract.serialize import brat_output
