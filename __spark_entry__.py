@@ -332,6 +332,36 @@ def q20_monthly_order_trend(spark, sf_dir):
             .orderBy("month"))
 
 
+def q24_stratified_hash_sample(spark, sf_dir):
+    """Deterministic per-language downsample via md5-prefix cutoff
+    (ollie_spark.spark.textops.stratified_hash_sample): reproducible
+    under any repartition/resume, no RNG — the curation-sampling op of
+    a training-data pipeline.  Pure map-side filter, no shuffle."""
+    from ollie_spark.spark.textops import stratified_hash_sample
+    d = _t(spark, sf_dir, "documents")
+    return (stratified_hash_sample(d).select("doc_id", "lang")
+            .orderBy("doc_id"))
+
+
+def q25_neardup_prune(spark, sf_dir):
+    """Near-dup pruning keep-rule over the q12 MinHash+LSH pair set
+    (ollie_spark.spark.textops.neardup_representatives): drop the
+    greater member of every pair, count survivors per language."""
+    from ollie_spark.spark.textops import neardup_representatives
+    d = _t(spark, sf_dir, "documents")
+    return (neardup_representatives(d)
+            .groupBy("lang").agg(F.count("*").alias("n_kept"))
+            .orderBy("lang"))
+
+
+def q26_corpus_term_stats(spark, sf_dir):
+    """Top-20 corpus terms by document frequency with IDF
+    (ollie_spark.spark.textops.corpus_term_stats): the vocabulary /
+    statistics pass of a training-data pipeline."""
+    from ollie_spark.spark.textops import corpus_term_stats
+    return corpus_term_stats(_t(spark, sf_dir, "documents"))
+
+
 # ------------------------------------------- KG queries (no SQL oracle)
 
 def kg_extract_mentions(spark, sf_dir):
@@ -440,6 +470,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_embedding_neardup": q21_embedding_neardup,
         "q22_ann_multiprobe": q22_ann_multiprobe,
         "q23_lang_id": q23_lang_id,
+        "q24_stratified_hash_sample": q24_stratified_hash_sample,
+        "q25_neardup_prune": q25_neardup_prune,
+        "q26_corpus_term_stats": q26_corpus_term_stats,
         "kg_extract_mentions": kg_extract_mentions,
         "kg_graph_edges": kg_graph_edges,
         "kg_media_features": kg_media_features,
@@ -490,6 +523,13 @@ def oracle_sql() -> dict[str, str]:
 
     from ollie_spark.spark.textops import lang_id_oracle_sql
     _lang_case = lang_id_oracle_sql("text")
+    from ollie_spark.spark.textops import (STRATIFIED_DEFAULT_RATE,
+                                           STRATIFIED_RATES,
+                                           rate_to_hex_threshold)
+    _strat_case = ("CASE " + " ".join(
+        f"WHEN lang = '{s}' THEN '{rate_to_hex_threshold(r)}'"
+        for s, r in sorted(STRATIFIED_RATES.items()))
+        + f" ELSE '{rate_to_hex_threshold(STRATIFIED_DEFAULT_RATE)}' END")
 
     base_cell = " || ".join(_bit(i) for i in range(4))
     # the vector's own cell + its 4 Hamming-1 flips (multi-probe set)
@@ -734,4 +774,31 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY lang, pred_lang
             ORDER BY lang, pred_lang""",
+        # thresholds interpolated from textops.STRATIFIED_RATES via the
+        # same rate_to_hex_threshold, so both engines apply the
+        # identical md5-prefix cutoff (lexicographic order on fixed-
+        # width lowercase hex == numeric order)
+        "q24_stratified_hash_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                  < ({_strat_case})
+            ORDER BY doc_id""",
+        "q25_neardup_prune": banded + """
+            SELECT lang, COUNT(*) AS n_kept FROM documents
+            WHERE doc_id NOT IN (
+                SELECT DISTINCT b.doc_id
+                FROM banded a JOIN banded b USING (band_key)
+                WHERE a.doc_id < b.doc_id)
+            GROUP BY lang ORDER BY lang""",
+        "q26_corpus_term_stats": """
+            WITH n AS (SELECT COUNT(*) AS total FROM documents),
+            t AS (SELECT unnest(list_distinct(string_split(text, ' ')))
+                      AS term
+                  FROM documents)
+            SELECT term, COUNT(*) AS df,
+                   ROUND(ln(CAST(n.total AS DOUBLE) / COUNT(*)), 4)
+                       AS idf
+            FROM t, n WHERE term <> ''
+            GROUP BY term, n.total
+            ORDER BY df DESC, term LIMIT 20""",
     }

@@ -635,3 +635,85 @@ def embedding_neardup_pairs(vecs: DataFrame, threshold: float = 0.62,
                     F.col(f"b.{id_col}").alias("vec_b"),
                     cos.alias("cosine"))
             .distinct())
+
+
+# --- training-data curation: deterministic sampling / pruning / stats ---
+
+# per-stratum sample rates for the stratified-sample demo query (q24);
+# thresholds are hex-string prefixes of md5 so BOTH engines (Spark and
+# the DuckDB oracle) compare identically — on fixed-width lowercase
+# hex, lexicographic order IS numeric order, so `md5 < '4000…'` keeps
+# exactly a 0x4000/0x10000 = 25% slice, reproducibly, with no RNG
+STRATIFIED_RATES = {"en": 0.25, "de": 0.5, "fr": 0.5}
+STRATIFIED_DEFAULT_RATE = 0.75
+_HEX_W = 4  # compare on 4 hex chars: rate granularity 1/65536
+
+
+def rate_to_hex_threshold(rate: float) -> str:
+    """0.25 -> '4000': the md5-prefix cutoff that keeps ~rate of keys."""
+    return format(min(int(rate * (16 ** _HEX_W)), 16 ** _HEX_W - 1),
+                  f"0{_HEX_W}x")
+
+
+def stratified_hash_sample(df: DataFrame, key_col: str = "doc_id",
+                           strata_col: str = "lang",
+                           rates: dict | None = None,
+                           default_rate: float = STRATIFIED_DEFAULT_RATE
+                           ) -> DataFrame:
+    """Deterministic per-stratum downsampling for training-data
+    curation: keep a row iff the md5 of its key falls under the
+    stratum's hex threshold.
+
+    Spark's ``df.sample`` is seed-stable only per partitioning; a
+    content-hash cutoff is stable under ANY repartition, resume, or
+    engine (the DuckDB oracle spells the identical predicate), which
+    is what a reproducible 100 TB curation run needs.  Shape at scale:
+    pure map-side filter (md5 + CASE + string compare, whole-stage
+    codegen), no shuffle, survives pushdown ordering — the scan still
+    prunes columns."""
+    rates = STRATIFIED_RATES if rates is None else rates
+    h = F.substring(F.md5(F.col(key_col).cast("string")), 1, _HEX_W)
+    thr = F.lit(rate_to_hex_threshold(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(F.col(strata_col) == stratum,
+                     F.lit(rate_to_hex_threshold(rate))).otherwise(thr)
+    return df.where(h < thr)
+
+
+def neardup_representatives(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Near-dup pruning keep-rule over the MinHash+LSH pair set: drop
+    every doc that is the GREATER member of some near-dup pair, keep
+    the rest.  The min-id member of each duplicate pair survives (the
+    standard greedy representative rule — cheap, SQL-expressible, and
+    order-independent; full transitive-closure canonicalization is the
+    linking module's union-find/CC path when components matter).
+
+    Shape at scale: the pair set is orders of magnitude smaller than
+    the corpus (capped band join), so the anti-join broadcasts its
+    dropped-id side; the corpus never shuffles."""
+    pairs = minhash_band_pairs(docs, id_col=id_col, text_col=text_col)
+    dropped = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return docs.join(F.broadcast(dropped), id_col, "left_anti")
+
+
+def corpus_term_stats(docs: DataFrame, text_col: str = "text",
+                      top_k: int = 20) -> DataFrame:
+    """Top-k corpus terms by document frequency, with IDF — the
+    vocabulary/statistics pass of a training-data pipeline.
+
+    df(term) counts each term once per document (distinct tokens
+    before the explode); idf = round(ln(N/df), 4).  Shape at scale:
+    explode feeds a map-side-combining groupBy on term (partial
+    counts), the total-N agg is one row broadcast back, and top-k is
+    TakeOrdered — no global sort materializes the vocabulary."""
+    per_doc = docs.select(F.explode(
+        F.array_distinct(F.split(F.col(text_col), " "))).alias("term"))
+    term_df = (per_doc.where(F.col("term") != "")
+               .groupBy("term").agg(F.count("*").alias("df")))
+    n = docs.agg(F.count("*").alias("_n"))
+    return (term_df.crossJoin(F.broadcast(n))
+            .select("term", "df",
+                    F.round(F.log(F.col("_n").cast("double")
+                                  / F.col("df")), 4).alias("idf"))
+            .orderBy(F.desc("df"), "term").limit(top_k))

@@ -362,3 +362,66 @@ def test_lang_id_identifies_planted_languages(spark):
     case = lang_id_oracle_sql("text")
     oracle = dict(con.execute(f"SELECT text, {case} FROM t").fetchall())
     assert oracle == got
+
+
+def test_stratified_hash_sample_deterministic_and_exact(spark):
+    """The md5-prefix cutoff is (a) recomputable outside Spark —
+    membership matches hashlib row-for-row, so the sample is
+    reproducible cross-engine — and (b) invariant under repartition
+    (df.sample would NOT be)."""
+    import hashlib
+
+    from ollie_spark.spark.textops import (STRATIFIED_DEFAULT_RATE,
+                                           STRATIFIED_RATES,
+                                           rate_to_hex_threshold,
+                                           stratified_hash_sample)
+    rows = [(i, ["en", "de", "xx"][i % 3]) for i in range(300)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {r.doc_id for r in stratified_hash_sample(d).collect()}
+    expect = set()
+    for i, lang in rows:
+        rate = STRATIFIED_RATES.get(lang, STRATIFIED_DEFAULT_RATE)
+        h = hashlib.md5(str(i).encode()).hexdigest()[:4]
+        if h < rate_to_hex_threshold(rate):
+            expect.add(i)
+    assert got == expect
+    re_got = {r.doc_id
+              for r in stratified_hash_sample(d.repartition(7)).collect()}
+    assert re_got == got
+    # map-only: the sample plan carries no shuffle
+    plan = stratified_hash_sample(d)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_neardup_representatives_keeps_min_id(spark):
+    """Planted exact near-dups: only the smallest doc_id of the
+    duplicate group survives; distinct docs are untouched."""
+    from ollie_spark.spark.textops import neardup_representatives
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    uniq = ["one red fox jumps over the lazy dog near the river bank",
+            "completely different words about spark shuffles and joins"]
+    rows = [(10, dup), (11, dup), (12, dup),
+            (1, uniq[0]), (2, uniq[1])]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r.doc_id for r in neardup_representatives(d).collect())
+    assert kept == [1, 2, 10]
+
+
+def test_corpus_term_stats_hand_computed(spark):
+    """3-doc corpus with known document frequencies; idf checked
+    against math.log."""
+    import math
+
+    from ollie_spark.spark.textops import corpus_term_stats
+    d = spark.createDataFrame(
+        [(0, "a b a"), (1, "a b c"), (2, "a  d")],
+        "doc_id long, text string")
+    got = {r.term: (r.df, r.idf)
+           for r in corpus_term_stats(d, top_k=10).collect()}
+    assert got == {
+        "a": (3, 0.0),
+        "b": (2, round(math.log(3 / 2), 4)),
+        "c": (1, round(math.log(3.0), 4)),
+        "d": (1, round(math.log(3.0), 4)),
+    }
