@@ -362,6 +362,19 @@ def q26_corpus_term_stats(spark, sf_dir):
     return corpus_term_stats(_t(spark, sf_dir, "documents"))
 
 
+def q27_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (ollie_spark.spark.textops.
+    contaminated_ids): corpus docs sharing any 8-word span with the
+    deterministic benchmark slice (doc_id % DECONTAM_BENCH_MOD == 0).
+    Benchmark shingles broadcast; the corpus never shuffles."""
+    from ollie_spark.spark.textops import (DECONTAM_BENCH_MOD,
+                                           contaminated_ids)
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % DECONTAM_BENCH_MOD == 0)
+    cand = d.where(F.col("doc_id") % DECONTAM_BENCH_MOD != 0)
+    return contaminated_ids(cand, bench).orderBy("doc_id")
+
+
 # ------------------------------------------- KG queries (no SQL oracle)
 
 def kg_extract_mentions(spark, sf_dir):
@@ -473,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_stratified_hash_sample": q24_stratified_hash_sample,
         "q25_neardup_prune": q25_neardup_prune,
         "q26_corpus_term_stats": q26_corpus_term_stats,
+        "q27_decontaminate": q27_decontaminate,
         "kg_extract_mentions": kg_extract_mentions,
         "kg_graph_edges": kg_graph_edges,
         "kg_media_features": kg_media_features,
@@ -530,6 +544,13 @@ def oracle_sql() -> dict[str, str]:
         f"WHEN lang = '{s}' THEN '{rate_to_hex_threshold(r)}'"
         for s, r in sorted(STRATIFIED_RATES.items()))
         + f" ELSE '{rate_to_hex_threshold(STRATIFIED_DEFAULT_RATE)}' END")
+    from ollie_spark.spark.textops import (DECONTAM_BENCH_MOD as
+                                           _BENCH_MOD,
+                                           DECONTAM_NGRAM as _NG)
+    _sh8 = (f"list_transform("
+            f"range(0, greatest(len(string_split(text,' '))-{_NG},0)+1),"
+            f" i -> array_to_string("
+            f"string_split(text,' ')[i+1:i+{_NG}], ' '))")
 
     base_cell = " || ".join(_bit(i) for i in range(4))
     # the vector's own cell + its 4 Hamming-1 flips (multi-probe set)
@@ -801,4 +822,16 @@ def oracle_sql() -> dict[str, str]:
             FROM t, n WHERE term <> ''
             GROUP BY term, n.total
             ORDER BY df DESC, term LIMIT 20""",
+        # 8-gram spelling mirrors word_shingles(text, 8) exactly (the
+        # same slice convention the q12 minhash oracle pins for n=3);
+        # benchmark slice + n interpolated from the shared constants
+        "q27_decontaminate": f"""
+            WITH bench AS (
+                SELECT DISTINCT unnest({_sh8}) AS sh
+                FROM documents WHERE doc_id % {_BENCH_MOD} = 0),
+            cand AS (
+                SELECT doc_id, unnest({_sh8}) AS sh
+                FROM documents WHERE doc_id % {_BENCH_MOD} <> 0)
+            SELECT DISTINCT doc_id FROM cand JOIN bench USING (sh)
+            ORDER BY doc_id""",
     }

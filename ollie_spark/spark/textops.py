@@ -717,3 +717,31 @@ def corpus_term_stats(docs: DataFrame, text_col: str = "text",
                     F.round(F.log(F.col("_n").cast("double")
                                   / F.col("df")), 4).alias("idf"))
             .orderBy(F.desc("df"), "term").limit(top_k))
+
+
+DECONTAM_NGRAM = 8        # flag on any shared 8-word span
+DECONTAM_BENCH_MOD = 97   # q28 demo benchmark slice: doc_id % 97 == 0
+
+
+def contaminated_ids(docs: DataFrame, benchmark: DataFrame,
+                     n: int = DECONTAM_NGRAM, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: ids of corpus docs sharing any
+    n-word span with a benchmark/eval document — the docs a training
+    run must drop so the benchmark stays honest.
+
+    Shape at scale: benchmark suites are tiny next to a training
+    corpus (MBs of n-grams vs 100 TB), so the distinct benchmark
+    shingle set BROADCASTS and the corpus side is a map-side explode +
+    broadcast semi-join — the corpus never shuffles; the final
+    distinct is over flagged ids only (a small fraction).  Shingling
+    is the O(len) let-bound ``word_shingles``."""
+    bench_sh = (benchmark
+                .select(F.explode(word_shingles(F.col(text_col), n))
+                        .alias("sh"))
+                .distinct())
+    doc_sh = docs.select(
+        id_col,
+        F.explode(word_shingles(F.col(text_col), n)).alias("sh"))
+    return (doc_sh.join(F.broadcast(bench_sh), "sh", "left_semi")
+            .select(id_col).distinct())

@@ -26,7 +26,7 @@ PLAN_QUERIES = [
     "q12_dedup_minhash", "q14_ngram_jaccard_pairs",
     "q18_ann_cosine_topk", "q23_lang_id",
     "q24_stratified_hash_sample", "q25_neardup_prune",
-    "q26_corpus_term_stats",
+    "q26_corpus_term_stats", "q27_decontaminate",
 ]
 
 

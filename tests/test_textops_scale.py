@@ -425,3 +425,28 @@ def test_corpus_term_stats_hand_computed(spark):
         "c": (1, round(math.log(3.0), 4)),
         "d": (1, round(math.log(3.0), 4)),
     }
+
+
+def test_decontamination_flags_exact_ngram_overlap(spark):
+    """A candidate containing a verbatim 8-word benchmark span is
+    flagged; one sharing only 7 consecutive words is not; the
+    benchmark shingle side broadcasts (plan-asserted)."""
+    from ollie_spark.spark.textops import contaminated_ids
+    bench_text = ("the quick brown fox jumps over the lazy dog "
+                  "while the cat sleeps")
+    bench = spark.createDataFrame([(100, bench_text)],
+                                  "doc_id long, text string")
+    cands = spark.createDataFrame(
+        [(1, "intro words then the quick brown fox jumps over the "
+             "lazy dog outro"),                    # 8+ shared words
+         (2, "quick brown fox jumps over the lazy cattle herd "
+             "grazing calmly today"),              # only 7 shared
+         (3, "nothing in common with anything benchmark related at "
+             "all whatsoever here")],
+        "doc_id long, text string")
+    got = sorted(r.doc_id
+                 for r in contaminated_ids(cands, bench).collect())
+    assert got == [1]
+    plan = contaminated_ids(cands, bench)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
