@@ -87,3 +87,54 @@ def windowed_mention_rate(mentions_stream: DataFrame,
             .select(F.col("win.start").alias("window_start"),
                     F.col("win.end").alias("window_end"),
                     "rel_text", "n_mentions"))
+
+
+def dedup_documents_stream(docs_stream: DataFrame,
+                           id_col: str = "doc_id",
+                           ts_col: str = "ingest_time",
+                           watermark: str = "10 minutes") -> DataFrame:
+    """Cross-batch document dedup for re-delivering sources (an
+    at-least-once feed re-sends docs after retries/failover): the
+    first-seen row per ``id_col`` is emitted immediately, any
+    re-delivery within the watermark is suppressed, and the per-id
+    state is EVICTED once the watermark passes — bounded state at any
+    stream length, which a plain streaming ``dropDuplicates`` (keys
+    kept forever) does not give at 10^12-doc scale."""
+    return (docs_stream.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark([id_col]))
+
+
+def source_running_stats(docs_stream: DataFrame,
+                         source_col: str = "source",
+                         text_col: str = "text") -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    cumulative per-source ingest stats — docs and chars seen so far —
+    re-emitted on every micro-batch that touches the source.
+
+    This is the pattern slot for any custom stateful op Spark lacks
+    natively (running corpus counters, per-source quota cutoffs,
+    streaming near-dup against a stored fingerprint set): state is
+    partitioned by group key across executors, Arrow-batched into
+    pandas, and checkpointed with the query.  Timeout is NoTimeout
+    here because corpus sources are few and long-lived; per-entity
+    keys at scale would set a ProcessingTimeTimeout to evict idle
+    state."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{source_col} string, n_docs long, n_chars long"
+    state_schema = "n_docs long, n_chars long"
+
+    def update(key, pdfs, state):
+        n_docs, n_chars = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n_docs += len(pdf)
+            n_chars += int(pdf[text_col].str.len().sum())
+        state.update((n_docs, n_chars))
+        yield pd.DataFrame([{source_col: key[0], "n_docs": n_docs,
+                             "n_chars": n_chars}])
+
+    return (docs_stream.groupBy(source_col)
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update",
+                                    GroupStateTimeout.NoTimeout))

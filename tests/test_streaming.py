@@ -147,3 +147,67 @@ def test_batch_replay_is_idempotent(spark, tmp_path):
     write_mention_batch(mentions.limit(5), 0, out)
     assert spark.read.parquet(out).where("batch_id = 1").count() == n1
     assert spark.read.parquet(out).where("batch_id = 0").count() == 5
+
+
+def test_dedup_stream_suppresses_redelivery(spark, tmp_path):
+    """A doc re-delivered in a later micro-batch (same doc_id, inside
+    the watermark) is emitted exactly once; fresh docs pass through."""
+    from ollie_spark.spark.streaming import dedup_documents_stream
+    in_dir = str(tmp_path / "redeliver_in")
+    schema = "doc_id long, text string, ts string"
+    b1 = [(1, "first doc", "2024-01-01 00:00:01"),
+          (2, "second doc", "2024-01-01 00:00:02")]
+    b2 = [(1, "first doc again", "2024-01-01 00:00:30"),   # re-delivery
+          (3, "third doc", "2024-01-01 00:00:31")]
+    spark.createDataFrame(b1, schema).write.mode("append") \
+        .parquet(in_dir)
+
+    stream = (spark.readStream.schema(schema).parquet(in_dir)
+              .withColumn("ingest_time", F.to_timestamp("ts")))
+    q = (dedup_documents_stream(stream)
+         .writeStream.format("memory").queryName("deduped")
+         .outputMode("append").trigger(processingTime="1 second")
+         .start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).write.mode("append") \
+            .parquet(in_dir)
+        q.processAllAvailable()
+        got = sorted(r.doc_id for r in
+                     spark.sql("select doc_id from deduped").collect())
+        assert got == [1, 2, 3]
+    finally:
+        q.stop()
+
+
+def test_source_running_stats_accumulates_across_batches(spark,
+                                                         tmp_path):
+    """applyInPandasWithState keeps per-source cumulative counts
+    across micro-batches (state survives the batch boundary)."""
+    from ollie_spark.spark.streaming import source_running_stats
+    in_dir = str(tmp_path / "stats_in")
+    schema = "doc_id long, text string, source string"
+    b1 = [(0, "aaaa", "src0"), (1, "bb", "src0"), (2, "cc", "src1")]
+    b2 = [(3, "dddddd", "src0")]
+    spark.createDataFrame(b1, schema).write.mode("append") \
+        .parquet(in_dir)
+
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    q = (source_running_stats(stream)
+         .writeStream.format("memory").queryName("srcstats")
+         .outputMode("update").trigger(processingTime="1 second")
+         .start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).write.mode("append") \
+            .parquet(in_dir)
+        q.processAllAvailable()
+        rows = spark.sql("select * from srcstats").collect()
+        latest = {}
+        for r in rows:           # update mode: last emit per source wins
+            if r.source not in latest or r.n_docs > latest[r.source][0]:
+                latest[r.source] = (r.n_docs, r.n_chars)
+        assert latest["src0"] == (3, 12)   # 4 + 2 + 6 chars, 3 docs
+        assert latest["src1"] == (1, 2)
+    finally:
+        q.stop()
