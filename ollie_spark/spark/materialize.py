@@ -111,14 +111,32 @@ class StageWriter:
         silently re-run every bucket (idempotent, so correct, but
         resume is the feature).  ``AnalysisException`` covers both
         path-does-not-exist and the unable-to-infer-schema empty-dir
-        case on any Hadoop-supported filesystem."""
+        case on any Hadoop-supported filesystem.
+
+        Bucketing-drift guard (r6): the manifest records the run's
+        ``n_buckets``; resuming with a DIFFERENT value would silently
+        change every row's bucket assignment (``pmod(xxhash64(key),
+        n)`` over a new modulus) — manifest-completed buckets would be
+        skipped while holding the WRONG doc subset, i.e. duplicated
+        and missing rows with no error.  Mismatch raises instead."""
         from pyspark.errors import AnalysisException
 
         try:
-            rows = (self.spark.read.parquet(self._manifest(stage))
-                    .select("bucket").distinct().collect())
+            m = self.spark.read.parquet(self._manifest(stage))
         except AnalysisException:
             return set()
+        if "n_buckets" in m.columns:
+            seen = [r.n_buckets for r in
+                    m.select("n_buckets").distinct().collect()]
+            bad = [n for n in seen if n != self.n_buckets]
+            if bad:
+                raise ValueError(
+                    f"stage {stage!r} manifest was written with "
+                    f"n_buckets={sorted(set(bad))}, but this writer "
+                    f"has n_buckets={self.n_buckets}; resuming would "
+                    f"mis-assign rows to completed buckets — use the "
+                    f"original n_buckets or a fresh root")
+        rows = m.select("bucket").distinct().collect()
         return {r.bucket for r in rows}
 
     def pending_buckets(self, stage: str) -> list[int]:
@@ -170,10 +188,11 @@ class StageWriter:
 
         manifest = self.spark.createDataFrame(pd.DataFrame(
             [(stage, int(b), int(counts.get(b, 0)), wall_ms, run_id,
-              time.time()) for b in pending],
+              time.time(), self.n_buckets) for b in pending],
             columns=["stage", "bucket", "rows", "wall_ms", "run_id",
-                     "ts"]).astype({"bucket": "int32", "rows": "int64",
-                                    "wall_ms": "int64"}))
+                     "ts", "n_buckets"])
+            .astype({"bucket": "int32", "rows": "int64",
+                     "wall_ms": "int64", "n_buckets": "int32"}))
         manifest.write.mode("append").parquet(self._manifest(stage))
         return {"stage": stage, "buckets": pending,
                 "rows": int(sum(counts.values())), "wall_ms": wall_ms,

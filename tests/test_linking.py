@@ -393,3 +393,21 @@ def test_salted_join_spreads_hot_key(spark):
     salts = (joined.where(F.col("node_id") == "n0")
              .select("_salt").distinct().count())
     assert salts >= 4, f"hot key spread over only {salts} salt buckets"
+
+
+def test_stage_writer_rejects_bucket_count_drift(spark, mentions,
+                                                 tmp_path):
+    """Resuming a stage with a different n_buckets would silently
+    mis-assign rows to manifest-completed buckets (pmod over a new
+    modulus) — the writer must refuse instead."""
+    root = str(tmp_path / "drift")
+    StageWriter(spark, root, n_buckets=8).run_stage("mentions",
+                                                    mentions,
+                                                    buckets=[0, 1])
+    w_bad = StageWriter(spark, root, n_buckets=4)
+    with pytest.raises(ValueError, match="n_buckets"):
+        w_bad.run_stage("mentions", mentions)
+    # the ORIGINAL bucketing still resumes fine
+    r = StageWriter(spark, root, n_buckets=8).run_stage("mentions",
+                                                        mentions)
+    assert sorted(r["buckets"]) == [2, 3, 4, 5, 6, 7]
