@@ -33,3 +33,22 @@ def test_build_graph_end_to_end(spark, tmp_path):
     for stage in ("mentions", "nodes", "edges", "nary"):
         m = w.metrics(stage)
         assert m.where(F.col("wall_ms") >= 0).count() >= 4
+
+
+def test_build_graph_resumes_mid_run(spark, tmp_path):
+    """Crash between stages: extraction's manifest is complete but no
+    graph tables exist — a fresh build_graph call must no-op the
+    mentions stage (resume, not re-extract) and build the rest."""
+    from ollie_spark.spark.pipeline import run_extraction
+    docs = corpus(spark, 60, seed=42, partitions=4)
+    root = str(tmp_path / "graph_midrun")
+    StageWriter(spark, root, n_buckets=4).run_stage(
+        "mentions", run_extraction(docs))
+
+    m = build_graph(spark, docs, root, n_buckets=4)
+    assert m["mentions"]["buckets"] == []       # resumed, not re-run
+    for stage in ("nodes", "edges", "nary"):
+        assert m[stage]["rows"] > 0, stage
+    g = read_graph(spark, root)
+    assert g["mentions"].count() > 0
+    assert g["nary"].count() == m["nary"]["rows"]
