@@ -375,6 +375,26 @@ def q27_decontaminate(spark, sf_dir):
     return contaminated_ids(cand, bench).orderBy("doc_id")
 
 
+def q28_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals
+    (ollie_spark.spark.textops.repetition_signals): top-2-gram word
+    fraction + duplicated-5-gram fraction per document, flagged
+    against the module thresholds.  Pure projection, shuffle-free."""
+    from ollie_spark.spark.textops import repetition_signals
+    return (repetition_signals(_t(spark, sf_dir, "documents"))
+            .orderBy("doc_id"))
+
+
+def q29_tfidf_keywords(spark, sf_dir):
+    """Per-document top-3 TF-IDF keywords
+    (ollie_spark.spark.textops.tfidf_keywords): map-side-combining
+    tf/df aggregations, broadcast vocabulary join, per-doc top-k
+    window — the keyword-tagging pass of a curation pipeline."""
+    from ollie_spark.spark.textops import tfidf_keywords
+    return (tfidf_keywords(_t(spark, sf_dir, "documents"))
+            .orderBy("doc_id", "kw_rank"))
+
+
 # ------------------------------------------- KG queries (no SQL oracle)
 
 def kg_extract_mentions(spark, sf_dir):
@@ -487,6 +507,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_neardup_prune": q25_neardup_prune,
         "q26_corpus_term_stats": q26_corpus_term_stats,
         "q27_decontaminate": q27_decontaminate,
+        "q28_repetition_signals": q28_repetition_signals,
+        "q29_tfidf_keywords": q29_tfidf_keywords,
         "kg_extract_mentions": kg_extract_mentions,
         "kg_graph_edges": kg_graph_edges,
         "kg_media_features": kg_media_features,
@@ -551,6 +573,9 @@ def oracle_sql() -> dict[str, str]:
             f"range(0, greatest(len(string_split(text,' '))-{_NG},0)+1),"
             f" i -> array_to_string("
             f"string_split(text,' ')[i+1:i+{_NG}], ' '))")
+    from ollie_spark.spark.textops import (REPETITION_DUP5_MAX as _REP5,
+                                           REPETITION_TOP2_MAX as _REP2,
+                                           TFIDF_TOP_K as _TFIDF_K)
 
     base_cell = " || ".join(_bit(i) for i in range(4))
     # the vector's own cell + its 4 Hamming-1 flips (multi-probe set)
@@ -834,4 +859,67 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents WHERE doc_id % {_BENCH_MOD} <> 0)
             SELECT DISTINCT doc_id FROM cand JOIN bench USING (sh)
             ORDER BY doc_id""",
+        # shingle spelling mirrors word_shingles(text, n) (the q12/q27
+        # slice convention); thresholds interpolated from
+        # textops.REPETITION_TOP2_MAX / _DUP5_MAX
+        "q28_repetition_signals": f"""
+            WITH sh AS (
+                SELECT doc_id,
+                       len(string_split(text, ' ')) AS n_words,
+                       list_transform(
+                         range(0, greatest(
+                             len(string_split(text,' '))-2,0)+1),
+                         i -> array_to_string(
+                             string_split(text,' ')[i+1:i+2], ' '))
+                           AS s2,
+                       list_transform(
+                         range(0, greatest(
+                             len(string_split(text,' '))-5,0)+1),
+                         i -> array_to_string(
+                             string_split(text,' ')[i+1:i+5], ' '))
+                           AS s5
+                FROM documents),
+            t2 AS (SELECT doc_id, MAX(c) AS top2 FROM (
+                       SELECT doc_id, g, COUNT(*) AS c FROM (
+                           SELECT doc_id, unnest(s2) AS g FROM sh)
+                       GROUP BY doc_id, g)
+                   GROUP BY doc_id),
+            m AS (SELECT sh.doc_id, sh.n_words,
+                         ROUND(2.0 * t2.top2 / sh.n_words, 4)
+                             AS top_2gram_frac,
+                         ROUND(1.0 - 1.0 * len(list_distinct(s5))
+                                         / len(s5), 4)
+                             AS dup_5gram_frac
+                  FROM sh JOIN t2 USING (doc_id))
+            SELECT doc_id, n_words, top_2gram_frac, dup_5gram_frac,
+                   CASE WHEN top_2gram_frac > {_REP2!r}
+                          OR dup_5gram_frac > {_REP5!r}
+                        THEN 1 ELSE 0 END AS repetitive
+            FROM m ORDER BY doc_id""",
+        # top-k + tie-break mirror tfidf_keywords: rounded score DESC,
+        # term ASC (deterministic across engines); k interpolated
+        "q29_tfidf_keywords": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS term,
+                       len(string_split(text, ' ')) AS n_toks
+                FROM documents),
+            tf AS (SELECT doc_id, term, n_toks, COUNT(*) AS c
+                   FROM toks WHERE term <> ''
+                   GROUP BY doc_id, term, n_toks),
+            dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+                      FROM toks WHERE term <> '' GROUP BY term),
+            n AS (SELECT COUNT(*) AS nn FROM documents),
+            scored AS (
+                SELECT doc_id, term,
+                       ROUND((1.0 * c / n_toks)
+                             * ln(1.0 * n.nn / dfreq.df), 6) AS score
+                FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+            SELECT doc_id, term, score,
+                   CAST(row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score DESC, term) AS BIGINT) AS kw_rank
+            FROM scored
+            QUALIFY kw_rank <= {_TFIDF_K}
+            ORDER BY doc_id, kw_rank""",
     }

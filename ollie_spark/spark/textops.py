@@ -720,7 +720,7 @@ def corpus_term_stats(docs: DataFrame, text_col: str = "text",
 
 
 DECONTAM_NGRAM = 8        # flag on any shared 8-word span
-DECONTAM_BENCH_MOD = 97   # q28 demo benchmark slice: doc_id % 97 == 0
+DECONTAM_BENCH_MOD = 97   # q27 demo benchmark slice: doc_id % 97 == 0
 
 
 def contaminated_ids(docs: DataFrame, benchmark: DataFrame,
@@ -745,3 +745,122 @@ def contaminated_ids(docs: DataFrame, benchmark: DataFrame,
         F.explode(word_shingles(F.col(text_col), n)).alias("sh"))
     return (doc_sh.join(F.broadcast(bench_sh), "sh", "left_semi")
             .select(id_col).distinct())
+
+
+REPETITION_TOP2_MAX = 0.20   # flag above this top-2-gram word fraction
+REPETITION_DUP5_MAX = 0.30   # flag above this duplicated-5-gram fraction
+
+
+def _max_run(sorted_arr) -> Column:
+    """Count of the most frequent element of a SORTED string array —
+    the longest run of equal adjacent elements, in ONE fold pass.
+
+    A map accumulator (``map_concat`` read-modify-write) would copy
+    the whole accumulator per element — O(len * per-doc vocab) per
+    document — so the mode is taken the sort-and-scan way instead:
+    O(len log len) sort, O(len) fold, all codegen, no shuffle."""
+    init = F.struct(F.lit(None).cast("string").alias("prev"),
+                    F.lit(0).alias("run"), F.lit(0).alias("best"))
+
+    def step(acc, g):
+        # `run` appears twice (carry + best); both references are the
+        # duplicated subtree of one comparison + add over lambda vars,
+        # not a re-evaluated expensive array (the HOF let-binding rule
+        # concerns embedded column subtrees, which `acc`/`g` are not).
+        run = (F.when(g.eqNullSafe(acc["prev"]), acc["run"] + 1)
+               .otherwise(F.lit(1)))
+        return F.struct(g.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_signals(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Gopher-style per-document repetition signals — the repetition
+    slice of an LLM training-data quality filter (Rae et al. 2021,
+    "Scaling Language Models", Table A1: fraction of the document
+    taken by the most common n-gram; fraction of duplicated n-grams).
+
+    Emits per doc:
+      - ``n_words``          word count (``split`` on single spaces)
+      - ``top_2gram_frac``   2 * count(most frequent word 2-gram) /
+                             n_words — word-level variant of Gopher's
+                             top-2-gram character fraction; overlapping
+                             occurrences can push degenerate docs
+                             above 1.0 (a score, not a probability)
+      - ``dup_5gram_frac``   1 - distinct/total 5-gram shingles
+      - ``repetitive``       1 iff either fraction exceeds its module
+                             constant (REPETITION_TOP2_MAX/_DUP5_MAX —
+                             interpolated into the DuckDB oracle so
+                             the engines cannot desynchronize)
+
+    Shape at scale: a pure projection — split + sort + one fold per
+    document over the O(len) let-bound ``word_shingles`` arrays; no
+    explode, no shuffle, whole-stage codegen around the HOFs.  The
+    flag is a second projection over the aliased fraction columns
+    (the CollapseProject discipline: a CASE over multi-referenced
+    non-cheap aliases stays materialized; inlining would re-run the
+    fold per branch)."""
+    t = F.col(text_col)
+    frac2 = F.round(2.0 * _max_run(F.array_sort(word_shingles(t, 2)))
+                    / F.size(F.split(t, " ")), 4)
+    s5 = word_shingles(t, 5)
+    dup5 = F.round(1.0 - F.size(F.array_distinct(s5)) / F.size(s5), 4)
+    scored = docs.select(
+        F.col(id_col),
+        F.size(F.split(t, " ")).cast("long").alias("n_words"),
+        frac2.alias("top_2gram_frac"),
+        dup5.alias("dup_5gram_frac"))
+    return scored.select(
+        "*",
+        ((F.col("top_2gram_frac") > REPETITION_TOP2_MAX)
+         | (F.col("dup_5gram_frac") > REPETITION_DUP5_MAX))
+        .cast("int").alias("repetitive"))
+
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_keywords(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   k: int = TFIDF_TOP_K) -> DataFrame:
+    """Per-document top-k TF-IDF keywords — the keyword/topic tagging
+    pass of a training-data pipeline (and the per-doc complement of
+    ``corpus_term_stats``' corpus-level vocabulary view).
+
+    score = round((tf/n_toks) * ln(N/df), 6); ties broken by term so
+    the top-k is deterministic across engines.  Shape at scale: the
+    token explode feeds a map-side-combining groupBy on (doc, term);
+    document frequency is a second map-side-combining groupBy on term
+    over per-doc distinct tokens; the (term, df) vocabulary is MBs
+    against a 100 TB corpus so it BROADCASTS back onto the tf side
+    (the corpus-derived tf frame never shuffles again); the top-k
+    window partitions by doc_id — bounded by per-doc vocabulary,
+    never a global sort."""
+    from pyspark.sql import Window
+
+    words = F.split(F.col(text_col), " ")
+    toks = (docs.select(F.col(id_col), F.size(words).alias("n_toks"),
+                        F.explode(words).alias("term"))
+            .where(F.col("term") != ""))
+    tf = (toks.groupBy(id_col, "term", "n_toks")
+          .agg(F.count("*").alias("c")))
+    dfreq = (docs.select(F.col(id_col),
+                         F.explode(F.array_distinct(words))
+                         .alias("term"))
+             .where(F.col("term") != "")
+             .groupBy("term").agg(F.count("*").alias("df")))
+    n = docs.agg(F.count("*").alias("_n"))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .crossJoin(F.broadcast(n))
+              .select(F.col(id_col), "term",
+                      F.round((F.col("c") / F.col("n_toks"))
+                              * F.log(F.col("_n").cast("double")
+                                      / F.col("df")), 6)
+                      .alias("score")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"),
+                                           F.asc("term"))
+    return (scored.select("*", F.row_number().over(w).cast("long")
+                          .alias("kw_rank"))
+            .where(F.col("kw_rank") <= k))

@@ -450,3 +450,60 @@ def test_decontamination_flags_exact_ngram_overlap(spark):
     plan = contaminated_ids(cands, bench)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_repetition_signals_hand_computed(spark):
+    """Planted docs with known 2-/5-gram structure; the fold-based
+    mode count matches hand arithmetic, the flag fires only past the
+    module thresholds, and the plan is shuffle-free (pure map)."""
+    from ollie_spark.spark.textops import repetition_signals
+    rows = [
+        # "x y" appears 3x among 5 2-grams -> frac2 = 2*3/6 = 1.0;
+        # both 5-grams distinct -> dup5 = 0.0; flag via frac2
+        (0, "x y x y x y"),
+        # 12 distinct words -> top2 = 1, frac2 = 2/12 = 0.1667;
+        # all 5-grams distinct -> dup5 = 0; below both cutoffs
+        (1, "a b c d e f g h i j k l"),
+        # "w w" run: 9 words all equal -> top2 = 8 2-grams equal,
+        # frac2 = 16/9; 5 identical 5-grams -> dup5 = 1 - 1/5 = 0.8
+        (2, "w w w w w w w w w"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = repetition_signals(d)
+    got = {r.doc_id: r.asDict() for r in out.collect()}
+    assert got[0]["top_2gram_frac"] == 1.0
+    assert got[0]["dup_5gram_frac"] == 0.0
+    assert got[0]["repetitive"] == 1
+    assert got[1]["n_words"] == 12
+    assert got[1]["top_2gram_frac"] == 0.1667
+    assert got[1]["repetitive"] == 0
+    assert got[2]["top_2gram_frac"] == round(16 / 9, 4)
+    assert got[2]["dup_5gram_frac"] == 0.8
+    assert got[2]["repetitive"] == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_tfidf_keywords_hand_computed(spark):
+    """3-doc corpus with known tf/df; scores checked against math.log
+    and the per-doc top-k keeps the deterministic (score DESC, term)
+    order.  The vocabulary join must broadcast."""
+    import math
+
+    from ollie_spark.spark.textops import tfidf_keywords
+    d = spark.createDataFrame(
+        [(0, "apple banana apple"), (1, "banana cherry"),
+         (2, "durian durian")],
+        "doc_id long, text string")
+    out = tfidf_keywords(d, k=2)
+    got = {(r.doc_id, r.term): (r.score, r.kw_rank)
+           for r in out.collect()}
+    # doc 0: apple tf 2/3 df 1 -> ln(3); banana tf 1/3 df 2 -> ln(1.5)
+    assert got[(0, "apple")] == (round(2 / 3 * math.log(3), 6), 1)
+    assert got[(0, "banana")] == (round(1 / 3 * math.log(1.5), 6), 2)
+    assert got[(1, "cherry")][1] == 1          # ln(3)/2 > ln(1.5)/2
+    assert got[(1, "banana")][1] == 2
+    assert got[(2, "durian")] == (round(math.log(3), 6), 1)
+    assert len(got) == 5                       # doc 2 has 1 term only
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
