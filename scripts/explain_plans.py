@@ -27,6 +27,7 @@ PLAN_QUERIES = [
     "q18_ann_cosine_topk", "q23_lang_id",
     "q24_stratified_hash_sample", "q25_neardup_prune",
     "q26_corpus_term_stats", "q27_decontaminate",
+    "q28_repetition_signals", "q29_tfidf_keywords",
 ]
 
 
