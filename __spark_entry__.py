@@ -395,6 +395,18 @@ def q29_tfidf_keywords(spark, sf_dir):
             .orderBy("doc_id", "kw_rank"))
 
 
+def q30_curation_funnel(spark, sf_dir):
+    """End-to-end curation funnel (ollie_spark.spark.textops.
+    curation_funnel): benchmark holdout -> lang-ID -> quality ->
+    repetition -> exact dedup -> near-dup prune -> decontamination ->
+    stratified sample, reported as per-stage survivor counts.  The
+    oracle recomputes the WHOLE composition in DuckDB from the same
+    shared stage rules, so it cross-checks the chaining, not just the
+    pieces."""
+    from ollie_spark.spark.textops import curation_funnel
+    return curation_funnel(_t(spark, sf_dir, "documents"))
+
+
 # ------------------------------------------- KG queries (no SQL oracle)
 
 def kg_extract_mentions(spark, sf_dir):
@@ -509,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_decontaminate": q27_decontaminate,
         "q28_repetition_signals": q28_repetition_signals,
         "q29_tfidf_keywords": q29_tfidf_keywords,
+        "q30_curation_funnel": q30_curation_funnel,
         "kg_extract_mentions": kg_extract_mentions,
         "kg_graph_edges": kg_graph_edges,
         "kg_media_features": kg_media_features,
@@ -922,4 +935,90 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             QUALIFY kw_rank <= {_TFIDF_K}
             ORDER BY doc_id, kw_rank""",
+        # the WHOLE curation composition, re-derived from the same
+        # stage fragments the standalone oracles use (lang CASE,
+        # q15 stopword rule, q28 repetition fractions, q12 banded
+        # minhash over the stage-4 survivors, q27 8-gram shingles,
+        # q24 md5-prefix cutoff).  The Spark side spells the lang
+        # keep as `any marker score > 0`; this oracle spells
+        # CASE <> 'und' — the equivalence of the two forms is
+        # cross-checked on every run.
+        "q30_curation_funnel": f"""
+            WITH s0 AS (SELECT * FROM documents
+                        WHERE doc_id % {_BENCH_MOD} <> 0),
+            s1 AS (SELECT * FROM s0 WHERE ({_lang_case}) <> 'und'),
+            s2 AS (SELECT * FROM s1 WHERE
+                     CAST(len(list_filter(string_split(text, ' '),
+                          w -> w IN ('the','a','of','and','to','in',
+                                     'is','it'))) AS DOUBLE)
+                       / len(string_split(text, ' ')) > 0.05
+                     OR len(string_split(text, ' ')) >= 40),
+            shx AS (SELECT doc_id,
+                           len(string_split(text, ' ')) AS n_words,
+                           list_transform(
+                             range(0, greatest(
+                                 len(string_split(text,' '))-2,0)+1),
+                             i -> array_to_string(
+                                 string_split(text,' ')[i+1:i+2], ' '))
+                               AS g2,
+                           list_transform(
+                             range(0, greatest(
+                                 len(string_split(text,' '))-5,0)+1),
+                             i -> array_to_string(
+                                 string_split(text,' ')[i+1:i+5], ' '))
+                               AS g5
+                    FROM s2),
+            t2x AS (SELECT doc_id, MAX(c) AS top2 FROM (
+                        SELECT doc_id, g, COUNT(*) AS c FROM (
+                            SELECT doc_id, unnest(g2) AS g FROM shx)
+                        GROUP BY doc_id, g)
+                    GROUP BY doc_id),
+            repx AS (SELECT shx.doc_id,
+                            (ROUND(2.0 * t2x.top2 / shx.n_words, 4)
+                                 > {_REP2!r}
+                             OR ROUND(1.0 - 1.0 * len(list_distinct(g5))
+                                          / len(g5), 4) > {_REP5!r})
+                                AS repet
+                     FROM shx JOIN t2x USING (doc_id)),
+            s3 AS (SELECT s2.* FROM s2 JOIN repx USING (doc_id)
+                   WHERE NOT repx.repet),
+            s4 AS (SELECT * FROM s3
+                   QUALIFY doc_id = MIN(doc_id)
+                       OVER (PARTITION BY md5(text))),
+            d AS (SELECT doc_id, {mh['mh0']} AS mh0, {mh['mh1']} AS mh1,
+                         {mh['mh2']} AS mh2, {mh['mh3']} AS mh3
+                  FROM s4),
+            bandx AS (SELECT doc_id, band_key FROM (
+                          SELECT doc_id, mh0 || '|' || mh1 AS band_key
+                          FROM d
+                          UNION ALL
+                          SELECT doc_id, mh2 || '|' || mh3 AS band_key
+                          FROM d)
+                      QUALIFY COUNT(*) OVER (PARTITION BY band_key)
+                          <= {_MAX_BAND}),
+            s5 AS (SELECT * FROM s4 WHERE doc_id NOT IN (
+                       SELECT DISTINCT b.doc_id
+                       FROM bandx a JOIN bandx b USING (band_key)
+                       WHERE a.doc_id < b.doc_id)),
+            bsh AS (SELECT DISTINCT unnest({_sh8}) AS sh
+                    FROM documents WHERE doc_id % {_BENCH_MOD} = 0),
+            contam AS (SELECT DISTINCT doc_id FROM (
+                           SELECT doc_id, unnest({_sh8}) AS sh FROM s5)
+                       JOIN bsh USING (sh)),
+            s6 AS (SELECT * FROM s5 WHERE doc_id NOT IN
+                       (SELECT doc_id FROM contam)),
+            s7 AS (SELECT * FROM s6 WHERE
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                           < ({_strat_case}))
+            SELECT * FROM (
+                SELECT 0 AS stage_idx, 'ingest' AS stage,
+                       COUNT(*) AS n_docs FROM s0
+                UNION ALL SELECT 1, 'lang_id', COUNT(*) FROM s1
+                UNION ALL SELECT 2, 'quality', COUNT(*) FROM s2
+                UNION ALL SELECT 3, 'repetition', COUNT(*) FROM s3
+                UNION ALL SELECT 4, 'exact_dedup', COUNT(*) FROM s4
+                UNION ALL SELECT 5, 'neardup', COUNT(*) FROM s5
+                UNION ALL SELECT 6, 'decontaminate', COUNT(*) FROM s6
+                UNION ALL SELECT 7, 'sample', COUNT(*) FROM s7)
+            ORDER BY stage_idx""",
     }

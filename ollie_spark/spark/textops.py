@@ -775,6 +775,19 @@ def _max_run(sorted_arr) -> Column:
     return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
 
 
+def _rep_top2_frac(t) -> Column:
+    """ROUND(2 * mode(2-grams) / n_words, 4) — shared by
+    repetition_signals and curation_funnel so the rule cannot fork."""
+    return F.round(2.0 * _max_run(F.array_sort(word_shingles(t, 2)))
+                   / F.size(F.split(t, " ")), 4)
+
+
+def _rep_dup5_frac(t) -> Column:
+    """ROUND(1 - distinct/total 5-gram shingles, 4)."""
+    s5 = word_shingles(t, 5)
+    return F.round(1.0 - F.size(F.array_distinct(s5)) / F.size(s5), 4)
+
+
 def repetition_signals(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """Gopher-style per-document repetition signals — the repetition
@@ -803,10 +816,8 @@ def repetition_signals(docs: DataFrame, id_col: str = "doc_id",
     non-cheap aliases stays materialized; inlining would re-run the
     fold per branch)."""
     t = F.col(text_col)
-    frac2 = F.round(2.0 * _max_run(F.array_sort(word_shingles(t, 2)))
-                    / F.size(F.split(t, " ")), 4)
-    s5 = word_shingles(t, 5)
-    dup5 = F.round(1.0 - F.size(F.array_distinct(s5)) / F.size(s5), 4)
+    frac2 = _rep_top2_frac(t)
+    dup5 = _rep_dup5_frac(t)
     scored = docs.select(
         F.col(id_col),
         F.size(F.split(t, " ")).cast("long").alias("n_words"),
@@ -864,3 +875,100 @@ def tfidf_keywords(docs: DataFrame, id_col: str = "doc_id",
     return (scored.select("*", F.row_number().over(w).cast("long")
                           .alias("kw_rank"))
             .where(F.col("kw_rank") <= k))
+
+
+CURATION_STAGES = ("ingest", "lang_id", "quality", "repetition",
+                   "exact_dedup", "neardup", "decontaminate", "sample")
+
+
+def curation_funnel(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", strata_col: str = "lang",
+                    bench_mod: int = DECONTAM_BENCH_MOD) -> DataFrame:
+    """End-to-end training-data curation funnel — the composition a
+    real 100 TB run chains: hold out the benchmark slice, then
+    language-ID filter -> quality filter -> repetition filter ->
+    exact dedup -> near-dup prune -> benchmark decontamination ->
+    stratified sampling.  Returns the per-stage survivor counts
+    ``(stage_idx, stage, n_docs)`` — the curation report every
+    pipeline run ships with.
+
+    Every stage rule is the SAME rule its standalone operator / oracle
+    spells (q23/q15/q28/q11/q25/q27/q24), via shared expressions and
+    constants, so the funnel oracle cross-checks the composition, not
+    a re-derivation.  The language KEEP is spelled ``any marker score
+    > 0`` — equivalent to ``lang_id != 'und'`` (the argmax chain
+    returns 'und' iff every score is 0) but each marker count is
+    evaluated ONCE; the oracle deliberately spells the CASE form, so
+    the equivalence of the two spellings is itself cross-checked.
+
+    Shape at scale:
+    - stages 0-3 are pure per-doc predicates, so their four counts
+      come from ONE corpus scan (cumulative conditional sums over a
+      two-step flag projection — the CollapseProject discipline keeps
+      each flag evaluated once);
+    - the stage-3 survivor frame is materialized once and each join
+      stage (dedup window on md5(text), capped LSH band join,
+      broadcast decontamination anti-join, map-side sample) reads the
+      previous materialized frame — at cluster scale these are the
+      frames a StageWriter run would persist per stage anyway;
+    - the result is a UNION of eight 1-row aggregates: no driver-side
+      loop, one DataFrame out."""
+    from pyspark.sql import Window
+
+    t = F.col(text_col)
+    bench = docs.where(F.col(id_col) % bench_mod == 0)
+    corpus = docs.where(F.col(id_col) % bench_mod != 0)
+
+    keep_lang = None
+    for _, s in lang_scores(t):
+        cond = s > 0
+        keep_lang = cond if keep_lang is None else (keep_lang | cond)
+    words = F.split(t, " ")
+    nt = F.size(words)
+    keep_quality = (
+        (F.size(F.filter(words, _stopword_filter)).cast("double")
+         / nt > 0.05) | (nt >= 40))
+    keep_rep = ~((_rep_top2_frac(t) > REPETITION_TOP2_MAX)
+                 | (_rep_dup5_frac(t) > REPETITION_DUP5_MAX))
+
+    base = corpus.select(keep_lang.alias("_l"),
+                         keep_quality.alias("_q0"),
+                         keep_rep.alias("_r0"))
+    flags = base.select(
+        "_l", (F.col("_l") & F.col("_q0")).alias("_q"),
+        (F.col("_l") & F.col("_q0") & F.col("_r0")).alias("_r"))
+    head = flags.agg(
+        F.count("*").alias("c0"),
+        F.sum(F.col("_l").cast("long")).alias("c1"),
+        F.sum(F.col("_q").cast("long")).alias("c2"),
+        F.sum(F.col("_r").cast("long")).alias("c3"))
+    head_rows = head.select(F.expr(
+        "stack(4, 0, 'ingest', c0, 1, 'lang_id', c1, "
+        "2, 'quality', c2, 3, 'repetition', c3) "
+        "AS (stage_idx, stage, n_docs)"))
+
+    s3 = materialize_once(
+        corpus.where(keep_lang & keep_quality & keep_rep))
+    w = Window.partitionBy(F.md5(t))
+    s4 = materialize_once(
+        s3.withColumn("_min_id", F.min(id_col).over(w))
+        .where(F.col(id_col) == F.col("_min_id")).drop("_min_id"))
+    s5 = materialize_once(
+        neardup_representatives(s4, id_col=id_col, text_col=text_col))
+    contam = contaminated_ids(s5, bench, id_col=id_col,
+                              text_col=text_col)
+    s6 = materialize_once(
+        s5.join(F.broadcast(contam), id_col, "left_anti"))
+    s7 = stratified_hash_sample(s6, key_col=id_col,
+                                strata_col=strata_col)
+
+    def stage_row(idx, name, frame):
+        return frame.agg(F.count("*").alias("n_docs")).select(
+            F.lit(idx).alias("stage_idx"), F.lit(name).alias("stage"),
+            "n_docs")
+
+    out = head_rows
+    for idx, (name, frame) in enumerate(
+            zip(CURATION_STAGES[4:], (s4, s5, s6, s7)), start=4):
+        out = out.unionAll(stage_row(idx, name, frame))
+    return out.orderBy("stage_idx")

@@ -507,3 +507,51 @@ def test_tfidf_keywords_hand_computed(spark):
     assert len(got) == 5                       # doc 2 has 1 term only
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_curation_funnel_planted_stages(spark):
+    """One planted doc falls at each funnel stage: doc 0 is the
+    benchmark holdout (0 % 97 == 0), 1 has no language markers, 2
+    fails the quality rule, 3 is repetitive, 5 is an exact dup of 4,
+    7 is a near-dup of 6 (verified band-sharing pair), 8 contains a
+    verbatim 8-word benchmark span; the sample stage is cross-checked
+    against hashlib exactly like the q24 test."""
+    import hashlib
+
+    from ollie_spark.spark.textops import (STRATIFIED_DEFAULT_RATE,
+                                           STRATIFIED_RATES,
+                                           curation_funnel,
+                                           rate_to_hex_threshold)
+    castle = ("the ancient castle stood on a tall hill above of the "
+              "winding river while birds flew in circles and it "
+              "rained softly")
+    dup = "the quick brown fox jumps over a lazy dog near it today"
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa lambda mu", "en"),                  # bench holdout
+        (1, "foo bar baz qux corge grault", "en"),     # no markers
+        (2, "der hund lauft schnell heute morgen", "de"),  # low qual
+        (3, "the cat " * 9 + "the cat", "en"),         # repetitive
+        (4, dup, "en"),
+        (5, dup, "en"),                                # exact dup of 4
+        (6, castle, "en"),
+        (7, castle + " yesterday", "en"),              # near-dup of 6
+        (8, "the story of it goes alpha beta gamma delta epsilon "
+            "zeta eta theta and more words follow here now", "en"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, "
+                              "lang string")
+    got = {(r.stage_idx, r.stage): r.n_docs
+           for r in curation_funnel(d).collect()}
+    survivors, langs = {4, 6}, {4: "en", 6: "en"}
+    n_sample = sum(
+        1 for i in survivors
+        if hashlib.md5(str(i).encode()).hexdigest()[:4]
+        < rate_to_hex_threshold(STRATIFIED_RATES.get(
+            langs[i], STRATIFIED_DEFAULT_RATE)))
+    assert got == {
+        (0, "ingest"): 8, (1, "lang_id"): 7, (2, "quality"): 6,
+        (3, "repetition"): 5, (4, "exact_dedup"): 4,
+        (5, "neardup"): 3, (6, "decontaminate"): 2,
+        (7, "sample"): n_sample,
+    }
