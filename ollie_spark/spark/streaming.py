@@ -138,3 +138,20 @@ def source_running_stats(docs_stream: DataFrame,
             .applyInPandasWithState(update, out_schema, state_schema,
                                     "update",
                                     GroupStateTimeout.NoTimeout))
+
+
+def curation_filter_stream(docs_stream: DataFrame,
+                           text_col: str = "text") -> DataFrame:
+    """At-ingest curation pre-filter: the curation funnel's map
+    stages (language-ID, quality, repetition keep rules) applied to
+    the document stream via the SAME shared predicates the batch
+    funnel uses (textops._curation_predicates), so junk never lands
+    in the corpus store.  Stateless — no watermark, no state store,
+    pure per-row projection+filter at any stream length; the funnel's
+    JOIN stages (exact dedup, near-dup prune, decontamination,
+    sampling) remain batch jobs over the materialized store, which is
+    where they belong (they need corpus-wide visibility)."""
+    from ollie_spark.spark.textops import _curation_predicates
+
+    keep_lang, keep_quality, keep_rep = _curation_predicates(text_col)
+    return docs_stream.where(keep_lang & keep_quality & keep_rep)

@@ -211,3 +211,42 @@ def test_source_running_stats_accumulates_across_batches(spark,
         assert latest["src1"] == (1, 2)
     finally:
         q.stop()
+
+
+def test_curation_filter_stream_matches_batch_predicates(spark,
+                                                         tmp_path):
+    """The streamed survivor set equals the batch funnel's map-stage
+    filter on the same rows (cross-path equality over the shared
+    predicates), across two micro-batches."""
+    from ollie_spark.spark.streaming import curation_filter_stream
+    from ollie_spark.spark.textops import _curation_predicates
+    in_dir = str(tmp_path / "curation_in")
+    schema = "doc_id long, text string"
+    castle = ("the ancient castle stood on a tall hill above of the "
+              "winding river while birds flew in circles and it "
+              "rained softly")
+    b1 = [(1, "foo bar baz qux corge grault"),        # no markers
+          (2, "der hund lauft schnell heute morgen"),  # low quality
+          (4, "the quick brown fox jumps over a lazy dog near it "
+              "today")]
+    b2 = [(3, "the cat " * 9 + "the cat"),            # repetitive
+          (6, castle)]
+    spark.createDataFrame(b1, schema).write.mode("append") \
+        .parquet(in_dir)
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    q = (curation_filter_stream(stream)
+         .writeStream.format("memory").queryName("curated_stream")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).write.mode("append") \
+            .parquet(in_dir)
+        q.processAllAvailable()
+        got = sorted(r.doc_id for r in spark.sql(
+            "select doc_id from curated_stream").collect())
+    finally:
+        q.stop()
+    kl, kq, kr = _curation_predicates("text")
+    batch = spark.createDataFrame(b1 + b2, schema).where(kl & kq & kr)
+    assert got == sorted(r.doc_id for r in batch.collect())
+    assert got == [4, 6]

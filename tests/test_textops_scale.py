@@ -555,3 +555,33 @@ def test_curation_funnel_planted_stages(spark):
         (5, "neardup"): 3, (6, "decontaminate"): 2,
         (7, "sample"): n_sample,
     }
+
+
+def test_curate_returns_final_survivors(spark):
+    """curate() emits exactly the docs the funnel's final stage
+    counts, with original columns intact (same planted corpus as the
+    funnel test)."""
+    from ollie_spark.spark.textops import curate, curation_funnel
+    castle = ("the ancient castle stood on a tall hill above of the "
+              "winding river while birds flew in circles and it "
+              "rained softly")
+    dup = "the quick brown fox jumps over a lazy dog near it today"
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa lambda mu", "en"),
+        (1, "foo bar baz qux corge grault", "en"),
+        (2, "der hund lauft schnell heute morgen", "de"),
+        (3, "the cat " * 9 + "the cat", "en"),
+        (4, dup, "en"), (5, dup, "en"),
+        (6, castle, "en"), (7, castle + " yesterday", "en"),
+        (8, "the story of it goes alpha beta gamma delta epsilon "
+            "zeta eta theta and more words follow here now", "en"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, "
+                              "lang string")
+    out = curate(d)
+    assert out.columns == ["doc_id", "text", "lang"]
+    got = {r.doc_id for r in out.collect()}
+    n_sample = {r.stage: r.n_docs for r in curation_funnel(d).collect()
+                }["sample"]
+    assert got <= {4, 6} and len(got) == n_sample
