@@ -877,20 +877,26 @@ def oracle_sql() -> dict[str, str]:
         # textops.REPETITION_TOP2_MAX / _DUP5_MAX
         "q28_repetition_signals": f"""
             WITH sh AS (
+                -- the CASE mirrors word_shingles' NULL guard: NULL
+                -- text -> NULL shingles (DuckDB's greatest() skips
+                -- NULLs, so the raw expression would emit a phantom
+                -- shingle for NULL text)
                 SELECT doc_id,
                        len(string_split(text, ' ')) AS n_words,
-                       list_transform(
-                         range(0, greatest(
-                             len(string_split(text,' '))-2,0)+1),
-                         i -> array_to_string(
-                             string_split(text,' ')[i+1:i+2], ' '))
-                           AS s2,
-                       list_transform(
-                         range(0, greatest(
-                             len(string_split(text,' '))-5,0)+1),
-                         i -> array_to_string(
-                             string_split(text,' ')[i+1:i+5], ' '))
-                           AS s5
+                       CASE WHEN text IS NULL THEN NULL ELSE
+                         list_transform(
+                           range(0, greatest(
+                               len(string_split(text,' '))-2,0)+1),
+                           i -> array_to_string(
+                               string_split(text,' ')[i+1:i+2], ' '))
+                       END AS s2,
+                       CASE WHEN text IS NULL THEN NULL ELSE
+                         list_transform(
+                           range(0, greatest(
+                               len(string_split(text,' '))-5,0)+1),
+                           i -> array_to_string(
+                               string_split(text,' ')[i+1:i+5], ' '))
+                       END AS s5
                 FROM documents),
             t2 AS (SELECT doc_id, MAX(c) AS top2 FROM (
                        SELECT doc_id, g, COUNT(*) AS c FROM (
@@ -903,11 +909,11 @@ def oracle_sql() -> dict[str, str]:
                          ROUND(1.0 - 1.0 * len(list_distinct(s5))
                                          / len(s5), 4)
                              AS dup_5gram_frac
-                  FROM sh JOIN t2 USING (doc_id))
+                  FROM sh LEFT JOIN t2 USING (doc_id))
             SELECT doc_id, n_words, top_2gram_frac, dup_5gram_frac,
-                   CASE WHEN top_2gram_frac > {_REP2!r}
-                          OR dup_5gram_frac > {_REP5!r}
-                        THEN 1 ELSE 0 END AS repetitive
+                   CAST((top_2gram_frac > {_REP2!r}
+                         OR dup_5gram_frac > {_REP5!r}) AS INTEGER)
+                       AS repetitive
             FROM m ORDER BY doc_id""",
         # top-k + tie-break mirror tfidf_keywords: rounded score DESC,
         # term ASC (deterministic across engines); k interpolated

@@ -585,3 +585,23 @@ def test_curate_returns_final_survivors(spark):
     n_sample = {r.stage: r.n_docs for r in curation_funnel(d).collect()
                 }["sample"]
     assert got <= {4, 6} and len(got) == n_sample
+
+
+def test_repetition_signals_null_text_parity(spark):
+    """A NULL-text doc yields NULL signals and a NULL flag in BOTH
+    engines (the oracle's LEFT JOIN + CAST(bool AS INTEGER) mirrors
+    Spark's three-valued logic) — generic corpora have null text even
+    though the driver testdata does not."""
+    from ollie_spark.spark.textops import repetition_signals
+    rows = [(1, None), (2, "x y x y x y")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        tuple(r) for r in repetition_signals(d).collect())
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    orows = con.execute(
+        entry_mod.oracle_sql()["q28_repetition_signals"]).fetchall()
+    assert got == sorted(tuple(r) for r in orows)
+    assert got[0] == (1, None, None, None, None)
