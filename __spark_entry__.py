@@ -407,6 +407,40 @@ def q30_curation_funnel(spark, sf_dir):
     return curation_funnel(_t(spark, sf_dir, "documents"))
 
 
+def q31_pii_scrub(spark, sf_dir):
+    """PII detection + redaction (ollie_spark.spark.textops.pii_scrub)
+    over a deterministically PII-planted corpus (plant_pii: every doc
+    an email, even doc_ids a phone, doc_id%3==0 an IPv4 — replayable
+    from doc_id, no RNG).  Pure regexp projection, no shuffle; the
+    oracle rebuilds the identical augmentation and the identical
+    RE2-compatible regex chain from the shared PII_PATTERNS."""
+    from ollie_spark.spark.textops import pii_scrub, plant_pii
+    return (pii_scrub(plant_pii(_t(spark, sf_dir, "documents")))
+            .orderBy("doc_id"))
+
+
+def q32_mixture_weights(spark, sf_dir):
+    """Training-mixture re-weighting table
+    (ollie_spark.spark.textops.mixture_weights): per-language token
+    mass -> natural share -> capped uniform-target sampling weight.
+    One corpus scan, map-side-combining groupBy, 1-row broadcast
+    total."""
+    from ollie_spark.spark.textops import mixture_weights
+    return mixture_weights(_t(spark, sf_dir, "documents"))
+
+
+def q33_pack_shards(spark, sf_dir):
+    """Token-budget shard packing
+    (ollie_spark.spark.textops.pack_training_shards): global prefix
+    sum spelled as the distributed two-level scan (per-range partials
+    -> compressed-frame running offsets -> broadcast-joined
+    range-partitioned windows) instead of the single-task
+    Window.orderBy anti-shape."""
+    from ollie_spark.spark.textops import pack_training_shards
+    return (pack_training_shards(_t(spark, sf_dir, "documents"))
+            .orderBy("doc_id"))
+
+
 # ------------------------------------------- KG queries (no SQL oracle)
 
 def kg_extract_mentions(spark, sf_dir):
@@ -522,6 +556,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_repetition_signals": q28_repetition_signals,
         "q29_tfidf_keywords": q29_tfidf_keywords,
         "q30_curation_funnel": q30_curation_funnel,
+        "q31_pii_scrub": q31_pii_scrub,
+        "q32_mixture_weights": q32_mixture_weights,
+        "q33_pack_shards": q33_pack_shards,
         "kg_extract_mentions": kg_extract_mentions,
         "kg_graph_edges": kg_graph_edges,
         "kg_media_features": kg_media_features,
@@ -589,6 +626,19 @@ def oracle_sql() -> dict[str, str]:
     from ollie_spark.spark.textops import (REPETITION_DUP5_MAX as _REP5,
                                            REPETITION_TOP2_MAX as _REP2,
                                            TFIDF_TOP_K as _TFIDF_K)
+    from ollie_spark.spark.textops import (MIXTURE_MAX_WEIGHT as _MIX_MAX,
+                                           PII_PATTERNS as _PII,
+                                           PII_PLANT_DOMAIN as _PII_DOM,
+                                           SHARD_TOKEN_BUDGET as _SHARD_B)
+    # the q31 regexes interpolate VERBATIM from PII_PATTERNS (they are
+    # the RE2-compatible subset by construction, and contain no quotes)
+    _pii_counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+        f" AS n_{kind}" for kind, pat, _ in _PII)
+    _pii_clean = "text"
+    for _kind, _pat, _repl in _PII:
+        _pii_clean = (f"regexp_replace({_pii_clean}, '{_pat}', "
+                      f"'{_repl}', 'g')")
 
     base_cell = " || ".join(_bit(i) for i in range(4))
     # the vector's own cell + its 4 Hamming-1 flips (multi-probe set)
@@ -1027,4 +1077,64 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT 6, 'decontaminate', COUNT(*) FROM s6
                 UNION ALL SELECT 7, 'sample', COUNT(*) FROM s7)
             ORDER BY stage_idx""",
+        # augmentation + regex chain interpolated from plant_pii /
+        # PII_PATTERNS so the two engines can never desynchronize;
+        # counts are over the ORIGINAL (augmented) text, redaction
+        # chains in declaration order — both mirrored exactly
+        "q31_pii_scrub": f"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' Contact user'
+                            || CAST(doc_id AS VARCHAR)
+                            || '@{_PII_DOM}'
+                            || CASE WHEN doc_id % 2 = 0
+                                 THEN ' or +1-555-' || lpad(CAST(
+                                      doc_id % 10000 AS VARCHAR),
+                                      4, '0')
+                                 ELSE '' END
+                            || CASE WHEN doc_id % 3 = 0
+                                 THEN ' from 10.'
+                                   || CAST(doc_id % 223 AS VARCHAR)
+                                   || '.'
+                                   || CAST(doc_id % 101 AS VARCHAR)
+                                   || '.'
+                                   || CAST(1 + doc_id % 254 AS VARCHAR)
+                                 ELSE '' END AS text
+                FROM documents)
+            SELECT doc_id, {_pii_counts},
+                   {_pii_clean} AS clean_text
+            FROM aug ORDER BY doc_id""",
+        "q32_mixture_weights": f"""
+            WITH per AS (
+                SELECT lang, COUNT(*) AS n_docs,
+                       SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                           AS n_tokens
+                FROM documents GROUP BY lang),
+            tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t,
+                           COUNT(*) AS k FROM per)
+            SELECT lang, n_docs, n_tokens,
+                   ROUND(CAST(n_tokens AS DOUBLE) / t, 6)
+                       AS natural_share,
+                   ROUND(LEAST({_MIX_MAX!r}, (1.0 / k)
+                         / (CAST(n_tokens AS DOUBLE) / t)), 6)
+                       AS mix_weight
+            FROM per CROSS JOIN tot ORDER BY lang""",
+        # the oracle spells the NAIVE global cumsum (fine in DuckDB);
+        # the Spark side is graded on producing the identical result
+        # via the distributed two-level scan
+        "q33_pack_shards": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT)
+                           AS n_tokens
+                FROM documents),
+            c AS (SELECT doc_id, n_tokens,
+                         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                  FROM t)
+            SELECT doc_id, n_tokens,
+                   CAST(cum_tokens AS BIGINT) AS cum_tokens,
+                   CAST(FLOOR((cum_tokens - n_tokens)
+                        / {_SHARD_B}) AS BIGINT) AS shard_id
+            FROM c ORDER BY doc_id""",
     }

@@ -1012,3 +1012,166 @@ def curation_funnel(docs: DataFrame, id_col: str = "doc_id",
             zip(CURATION_STAGES[4:], (s4, s5, s6, s7)), start=4):
         out = out.unionAll(stage_row(idx, name, frame))
     return out.orderBy("stage_idx")
+
+
+# --- PII detection & redaction ------------------------------------------
+
+# (kind, pattern, replacement) applied IN ORDER.  The patterns are
+# deliberately the RE2-compatible subset (character classes + bounded
+# repetition only: no lookaround, no backreferences, no ambiguous
+# alternation) so the Java regex engine (Spark) and RE2 (the DuckDB
+# oracle) match identical spans — Java's leftmost-first greedy and
+# RE2's leftmost-longest agree on alternation-free patterns.  Order
+# matters for redaction: the email pattern consumes its dotted domain
+# before the IPv4 pattern can see it.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+     "<IP>"),
+    ("phone", r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+)
+
+# deterministic PII planting for the q31 demo (the synthetic corpus
+# carries no PII of its own): every doc gets an email, even doc_ids a
+# phone, doc_id % 3 == 0 an IPv4 — varying per-kind counts so the
+# detectors are falsifiable, replayable from doc_id alone (no RNG).
+PII_PLANT_DOMAIN = "mail.example.com"
+
+
+def plant_pii(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Append deterministic synthetic PII to each document (demo input
+    for :func:`pii_scrub`; the DuckDB oracle rebuilds the identical
+    augmentation from ``doc_id``).  Pure projection."""
+    did = F.col(id_col)
+    ds = did.cast("string")
+    email = F.concat(F.lit(" Contact user"), ds,
+                     F.lit("@" + PII_PLANT_DOMAIN))
+    phone = F.when(did % 2 == 0, F.concat(
+        F.lit(" or +1-555-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"))).otherwise("")
+    ip = F.when(did % 3 == 0, F.concat(
+        F.lit(" from 10."), (did % 223).cast("string"), F.lit("."),
+        (did % 101).cast("string"), F.lit("."),
+        (1 + did % 254).cast("string"))).otherwise("")
+    return docs.withColumn(
+        text_col, F.concat(F.col(text_col), email, phone, ip))
+
+
+def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """PII detection + redaction — the scrubbing pass every
+    training-data pipeline runs before a corpus ships.  Per document:
+    the count of each :data:`PII_PATTERNS` kind found in the ORIGINAL
+    text, plus ``clean_text`` with every occurrence replaced by its
+    typed placeholder (patterns applied in declaration order).
+
+    Shape at scale: pure per-row projection (regexp_count +
+    regexp_replace chain, whole-stage codegen), no shuffle, no Python
+    boundary; the scan prunes to (id, text).  Counts are detected on
+    the original text so kinds are independent of redaction order;
+    redaction chains in PII_PATTERNS order so nested spans (an IP-like
+    dotted domain inside an email) are consumed exactly once."""
+    counts = [F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+              .alias(f"n_{kind}") for kind, pat, _ in PII_PATTERNS]
+    clean = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    return docs.select(id_col, *counts, clean.alias("clean_text"))
+
+
+# --- training-mixture weights -------------------------------------------
+
+MIXTURE_MAX_WEIGHT = 5.0  # never upsample a stratum more than 5x
+
+
+def mixture_weights(docs: DataFrame, strata_col: str = "lang",
+                    text_col: str = "text",
+                    max_weight: float = MIXTURE_MAX_WEIGHT) -> DataFrame:
+    """Per-stratum sampling weights that move the corpus toward a
+    UNIFORM target mixture by token mass — the domain/language
+    re-weighting step of a training-data pipeline (the DoReMi/Pile
+    style mixture table, with the standard max-repetition cap so rare
+    strata aren't epoch-ed into memorization).
+
+    ``mix_weight = min(target_share / natural_share, max_weight)``
+    where ``natural_share = stratum_tokens / total_tokens`` and the
+    uniform target is ``1 / n_strata``.  Shares and weights are
+    ROUNDED to 6 places with the identical expression tree in the
+    DuckDB oracle for float parity.
+
+    Shape at scale: token counting is a map-side expression feeding a
+    map-side-combining groupBy on the stratum (output rows == number
+    of strata, i.e. tiny); the grand total is a 1-row aggregate
+    broadcast back.  No per-document shuffle, one corpus scan."""
+    per = docs.groupBy(strata_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col(text_col), " ")).cast("long"))
+        .alias("n_tokens"))
+    tot = per.agg(F.sum("n_tokens").alias("_tot"),
+                  F.count("*").alias("_k"))
+    natural = F.col("n_tokens").cast("double") / F.col("_tot")
+    target = F.lit(1.0) / F.col("_k")
+    return (per.crossJoin(F.broadcast(tot))
+            .select(strata_col, "n_docs", "n_tokens",
+                    F.round(natural, 6).alias("natural_share"),
+                    F.round(F.least(F.lit(max_weight), target / natural),
+                            6).alias("mix_weight"))
+            .orderBy(strata_col))
+
+
+# --- token-budget shard packing (distributed prefix sum) -----------------
+
+SHARD_TOKEN_BUDGET = 2000  # demo budget: ~35 docs/shard on the corpora
+PACK_RANGE_DOCS = 128      # id-range compression width for the scan
+
+
+def pack_training_shards(docs: DataFrame,
+                         budget: int = SHARD_TOKEN_BUDGET,
+                         id_col: str = "doc_id",
+                         text_col: str = "text",
+                         range_docs: int = PACK_RANGE_DOCS) -> DataFrame:
+    """Assign documents to fixed-token-budget training shards in
+    stable ``id_col`` order: ``shard_id = floor(exclusive_prefix_sum /
+    budget)`` — the sequence-packing plan a dataloader consumes.
+
+    A global cumulative sum is a single-task window in the naive
+    spelling (``Window.orderBy(id)`` with no partition), which is the
+    classic 100 TB anti-shape.  This is the distributed two-level
+    scan instead:
+
+    1. per-range partial sums — ``groupBy(floor(id / range_docs))``,
+       map-side combining, output is the corpus compressed by
+       ``range_docs``×;
+    2. running offsets over the COMPRESSED range frame (the only
+       unpartitioned window, over corpus/range_docs rows — at 10^10
+       docs and the production width 2^20 that is ~10^4 rows; deeper
+       corpora recurse the same step);
+    3. offsets broadcast-join back; the per-document cumsum window is
+       PARTITIONED by range, so every range scans in parallel.
+
+    ``cum_tokens`` is the inclusive prefix sum; a shard may overshoot
+    the budget by less than one document (assignment is by exclusive
+    start), which is the standard greedy packing rule."""
+    from pyspark.sql import Window
+    toks = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long")
+        .alias("n_tokens"),
+        F.floor(F.col(id_col) / range_docs).alias("_rng"))
+    rng_sums = toks.groupBy("_rng").agg(F.sum("n_tokens").alias("_rs"))
+    w_rng = (Window.orderBy("_rng")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = rng_sums.select(
+        "_rng",
+        F.coalesce(F.sum("_rs").over(w_rng), F.lit(0).cast("long"))
+        .alias("_off"))
+    w_in = Window.partitionBy("_rng").orderBy(id_col)
+    return (toks.join(F.broadcast(offsets), "_rng")
+            .select(id_col, "n_tokens",
+                    (F.col("_off") + F.sum("n_tokens").over(w_in))
+                    .alias("cum_tokens"))
+            .select(id_col, "n_tokens", "cum_tokens",
+                    F.floor((F.col("cum_tokens") - F.col("n_tokens"))
+                            / budget).cast("bigint").alias("shard_id")))

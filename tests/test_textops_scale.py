@@ -605,3 +605,92 @@ def test_repetition_signals_null_text_parity(spark):
         entry_mod.oracle_sql()["q28_repetition_signals"]).fetchall()
     assert got == sorted(tuple(r) for r in orows)
     assert got[0] == (1, None, None, None, None)
+
+
+def test_pii_scrub_hand_computed(spark):
+    """Detection counts and the redacted string on hand-written PII —
+    including the nesting case (the dotted email domain must NOT also
+    count/redact as an IPv4, because the email pattern consumes it
+    first) and a phone/IP adjacency."""
+    from ollie_spark.spark.textops import pii_scrub
+    rows = [
+        (1, "mail a.smith+x@sub.example.org or b@x.io today"),
+        (2, "server 192.168.0.1 and 10.0.0.255 up"),
+        (3, "call +1-555-0042 from 10.2.3.4 now"),
+        (4, "plain words only here"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in pii_scrub(d).collect()}
+    assert (got[1].n_email, got[1].n_ipv4, got[1].n_phone) == (2, 0, 0)
+    assert got[1].clean_text == "mail <EMAIL> or <EMAIL> today"
+    assert (got[2].n_email, got[2].n_ipv4, got[2].n_phone) == (0, 2, 0)
+    assert got[2].clean_text == "server <IP> and <IP> up"
+    assert (got[3].n_email, got[3].n_ipv4, got[3].n_phone) == (0, 1, 1)
+    assert got[3].clean_text == "call <PHONE> from <IP> now"
+    assert (got[4].n_email, got[4].n_ipv4, got[4].n_phone) == (0, 0, 0)
+    assert got[4].clean_text == rows[3][1]
+
+
+def test_plant_pii_parity_rules(spark):
+    """plant_pii's per-kind planting parities drive pii_scrub's
+    counts: email always 1, phone iff doc_id even, IP iff
+    doc_id % 3 == 0 (the falsifiability of the q31 demo)."""
+    from ollie_spark.spark.textops import pii_scrub, plant_pii
+    d = spark.createDataFrame([(i, "w x y z") for i in range(12)],
+                              "doc_id long, text string")
+    for r in pii_scrub(plant_pii(d)).collect():
+        assert r.n_email == 1
+        assert r.n_phone == (1 if r.doc_id % 2 == 0 else 0)
+        assert r.n_ipv4 == (1 if r.doc_id % 3 == 0 else 0)
+        assert "<EMAIL>" in r.clean_text and "@" not in r.clean_text
+
+
+def test_mixture_weights_hand_computed(spark):
+    """Uniform-target weights on a 2-strata corpus with a known token
+    split (90/10): the rare stratum wants 0.5/0.1 = 5.0 exactly at
+    the cap; a 3rd tiny stratum would exceed it and must clamp."""
+    from ollie_spark.spark.textops import mixture_weights
+    rows = ([(i, "w " * 17 + "w", "en") for i in range(5)]        # 5*18
+            + [(100, "a b c d e f g h i j", "de")])               # 10
+    d = spark.createDataFrame(rows, "doc_id long, text string, "
+                              "lang string")
+    got = {r.lang: r for r in mixture_weights(d).collect()}
+    assert got["en"].n_docs == 5 and got["en"].n_tokens == 90
+    assert got["de"].n_tokens == 10
+    assert got["en"].natural_share == 0.9
+    assert got["en"].mix_weight == round(0.5 / 0.9, 6)
+    assert got["de"].mix_weight == 5.0      # 0.5/0.1 hits the cap
+    # add a stratum small enough that uncapped weight would be 25x
+    rows2 = rows + [(200, "uno dos", "fr")]                        # 2
+    d2 = spark.createDataFrame(rows2, "doc_id long, text string, "
+                               "lang string")
+    got2 = {r.lang: r for r in mixture_weights(d2).collect()}
+    assert got2["fr"].mix_weight == 5.0     # clamped, not 17.0
+
+
+def test_pack_shards_distributed_prefix_sum(spark):
+    """cum_tokens equals the sequential cumsum and shard boundaries
+    match greedy exclusive-start packing — on doc_ids spanning
+    MULTIPLE range buckets (so the per-range offsets + partitioned
+    window path is actually exercised), with uneven gaps."""
+    from ollie_spark.spark.textops import pack_training_shards
+    ids = [0, 3, 130, 131, 257, 400, 512, 900]   # ranges 0,1,2,3,4,7
+    toks = [5, 7, 3, 11, 2, 6, 9, 4]
+    rows = [(i, "w " * (t - 1) + "w") for i, t in zip(ids, toks)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(pack_training_shards(d, budget=10, range_docs=128)
+                 .collect())
+    cum = 0
+    for r, t in zip(got, toks):
+        assert r.n_tokens == t
+        cum += t
+        assert r.cum_tokens == cum
+        assert r.shard_id == (cum - t) // 10
+    # plan shape: the per-doc window is hash-partitioned by the range
+    # key (parallel), and the only SinglePartition exchange feeds the
+    # COMPRESSED offsets frame (downstream of the groupBy aggregate) —
+    # the full frame is never funneled through one task
+    plan = (pack_training_shards(d)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "hashpartitioning(_rng" in plan
+    assert plan.count("SinglePartition") == 1
