@@ -28,6 +28,7 @@ PLAN_QUERIES = [
     "q24_stratified_hash_sample", "q25_neardup_prune",
     "q26_corpus_term_stats", "q27_decontaminate",
     "q28_repetition_signals", "q29_tfidf_keywords",
+    "q31_pii_scrub", "q32_mixture_weights", "q33_pack_shards",
 ]
 
 
