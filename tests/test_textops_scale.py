@@ -694,3 +694,48 @@ def test_pack_shards_distributed_prefix_sum(spark):
             .executedPlan().toString())
     assert "hashpartitioning(_rng" in plan
     assert plan.count("SinglePartition") == 1
+
+
+def test_q31_q33_null_text_parity(spark):
+    """NULL text (and a NULL stratum) flow through q31-q33 with
+    identical three-valued logic in both engines — the q28 precedent:
+    generic corpora have null text even though the driver testdata
+    does not.  pii counts/clean_text go NULL; a NULL token count is
+    skipped by every SUM (mixture totals, prefix windows) the same
+    way in Spark and DuckDB."""
+    import math
+
+    from ollie_spark.spark.textops import (mixture_weights, pack_training_shards,
+                                           pii_scrub, plant_pii)
+    rows = [(1, None, "en"), (2, "a b c d e", "en"), (3, "x y", None)]
+    d = spark.createDataFrame(rows, "doc_id long, text string, "
+                              "lang string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents "
+                "(doc_id BIGINT, text VARCHAR, lang VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?,?,?)", rows)
+
+    def norm(v):
+        if isinstance(v, float):
+            return "nan" if math.isnan(v) else round(v, 6)
+        return v
+
+    def key(t):
+        return tuple((x is None, x) for x in t)
+
+    oracles = entry_mod.oracle_sql()
+    frames = {"q31_pii_scrub": pii_scrub(plant_pii(d)),
+              "q32_mixture_weights": mixture_weights(d),
+              "q33_pack_shards": pack_training_shards(d)}
+    for name, sdf in frames.items():
+        scols = sdf.columns
+        so = sorted((tuple(norm(r[c]) for c in sorted(scols))
+                     for r in sdf.collect()), key=key)
+        res = con.execute(oracles[name])
+        ocols = [x[0] for x in res.description]
+        oo = sorted((tuple(norm(v) for _, v in sorted(zip(ocols, row)))
+                     for row in res.fetchall()), key=key)
+        assert so == oo, name
+    # and the NULL rows are actually present (not silently dropped)
+    assert any(r.clean_text is None
+               for r in frames["q31_pii_scrub"].collect())
