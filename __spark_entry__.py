@@ -441,6 +441,33 @@ def q33_pack_shards(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q34_line_dedup(spark, sf_dir):
+    """Corpus-level line dedup (ollie_spark.spark.textops.line_dedup)
+    over a deterministically boilerplate-planted corpus
+    (plant_boilerplate: every doc a newsletter line, doc_id%3 a
+    license footer, doc_id%400 a rare line BELOW the threshold —
+    replayable from doc_id).  The C4 rule: a line occurring
+    LINE_DUP_MIN+ times corpus-wide is dropped everywhere but its
+    first (doc_id, line_no) occurrence; map-side-combining groupBy
+    over md5 line keys, never a window over the (skewed) line key."""
+    from ollie_spark.spark.textops import line_dedup, plant_boilerplate
+    return (line_dedup(plant_boilerplate(_t(spark, sf_dir, "documents")))
+            .orderBy("doc_id"))
+
+
+def q35_dup_spans(spark, sf_dir):
+    """Cross-document duplicate-span signals
+    (ollie_spark.spark.textops.duplicate_span_stats): per doc, the
+    count and fraction of its distinct 8-word spans shared with
+    at least one other document (Lee et al. 2022
+    exact-substring dedup, detection half).  Per-doc array_distinct
+    before explode so plain COUNT(*) is document frequency; md5 keys
+    so the shuffle never carries span text."""
+    from ollie_spark.spark.textops import duplicate_span_stats
+    return (duplicate_span_stats(_t(spark, sf_dir, "documents"))
+            .orderBy("doc_id"))
+
+
 # ------------------------------------------- KG queries (no SQL oracle)
 
 def kg_extract_mentions(spark, sf_dir):
@@ -559,6 +586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_pii_scrub": q31_pii_scrub,
         "q32_mixture_weights": q32_mixture_weights,
         "q33_pack_shards": q33_pack_shards,
+        "q34_line_dedup": q34_line_dedup,
+        "q35_dup_spans": q35_dup_spans,
         "kg_extract_mentions": kg_extract_mentions,
         "kg_graph_edges": kg_graph_edges,
         "kg_media_features": kg_media_features,
@@ -630,6 +659,20 @@ def oracle_sql() -> dict[str, str]:
                                            PII_PATTERNS as _PII,
                                            PII_PLANT_DOMAIN as _PII_DOM,
                                            SHARD_TOKEN_BUDGET as _SHARD_B)
+    from ollie_spark.spark.textops import (BOILERPLATE_PLANT as _BP,
+                                           DUPSPAN_NGRAM as _DSN,
+                                           LINE_DUP_MIN as _LDM)
+    # q34 augmentation mirrors plant_boilerplate's when-chain append
+    # order exactly; the planted lines contain no quotes by
+    # construction.  NULL text propagates through || in both engines.
+    _plant = "text" + "".join(
+        f" || CASE WHEN doc_id % {mod} = 0 THEN chr(10) || '{line}'"
+        f" ELSE '' END" for mod, line in _BP)
+    # q35 span fragment: the _sh8 shape parameterized by DUPSPAN_NGRAM
+    _dsh = (f"list_transform("
+            f"range(0, greatest(len(string_split(text,' '))-{_DSN},0)+1),"
+            f" i -> array_to_string("
+            f"string_split(text,' ')[i+1:i+{_DSN}], ' '))")
     # the q31 regexes interpolate VERBATIM from PII_PATTERNS (they are
     # the RE2-compatible subset by construction, and contain no quotes)
     _pii_counts = ", ".join(
@@ -1137,4 +1180,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR((cum_tokens - n_tokens)
                         / {_SHARD_B}) AS BIGINT) AS shard_id
             FROM c ORDER BY doc_id""",
+        # the C4 line-dedup composition re-derived end-to-end: the
+        # keep rule (empty-trim always kept, corpus count < threshold,
+        # or first (doc_id, ln) occurrence) is spelled over windows
+        # here because DuckDB runs at oracle scale; COALESCE mirrors
+        # Spark's array_join('') when every line of a doc is dropped
+        "q34_line_dedup": f"""
+            WITH aug AS (SELECT doc_id, {_plant} AS text
+                         FROM documents),
+            lx AS (SELECT doc_id, u.ln AS ln, u.line AS line FROM (
+                       SELECT doc_id,
+                              unnest(list_transform(range(0, len(sp)),
+                                  i -> {{'ln': i, 'line': sp[i+1]}}))
+                                  AS u
+                       FROM (SELECT doc_id,
+                                    string_split(text, chr(10)) AS sp
+                             FROM aug WHERE text IS NOT NULL))),
+            fl AS (SELECT doc_id, ln, line,
+                          (trim(line) = ''
+                           OR COUNT(*) OVER (
+                               PARTITION BY md5(trim(line))) < {_LDM}
+                           OR ROW_NUMBER() OVER (
+                               PARTITION BY md5(trim(line))
+                               ORDER BY doc_id, ln) = 1) AS keep
+                   FROM lx),
+            agg AS (SELECT doc_id, COUNT(*) AS n_lines,
+                           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END)
+                                AS BIGINT) AS n_kept,
+                           COALESCE(string_agg(
+                               CASE WHEN keep THEN line END,
+                               chr(10) ORDER BY ln), '') AS clean_text
+                    FROM fl GROUP BY doc_id)
+            SELECT d.doc_id, a.n_lines, a.n_kept, a.clean_text
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id""",
+        "q35_dup_spans": f"""
+            WITH sp AS (SELECT doc_id,
+                               unnest(list_distinct({_dsh})) AS sh
+                        FROM documents WHERE text IS NOT NULL),
+            h AS (SELECT doc_id, md5(sh) AS hk FROM sp),
+            sz AS (SELECT hk, COUNT(*) AS nd FROM h GROUP BY hk),
+            per AS (SELECT doc_id, COUNT(*) AS n_spans,
+                           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0
+                                    END) AS BIGINT) AS n_dup_spans
+                    FROM h JOIN sz USING (hk) GROUP BY doc_id)
+            SELECT d.doc_id, p.n_spans, p.n_dup_spans,
+                   ROUND(1.0 * p.n_dup_spans / p.n_spans, 6)
+                       AS dup_span_frac
+            FROM documents d LEFT JOIN per p USING (doc_id)
+            ORDER BY d.doc_id""",
     }

@@ -1175,3 +1175,131 @@ def pack_training_shards(docs: DataFrame,
             .select(id_col, "n_tokens", "cum_tokens",
                     F.floor((F.col("cum_tokens") - F.col("n_tokens"))
                             / budget).cast("bigint").alias("shard_id")))
+
+
+# --- corpus-level line dedup (C4-style boilerplate removal) --------------
+
+BOILERPLATE_PLANT = (
+    # (modulus, line): doc_id % modulus == 0 gets the line appended.
+    # mod 1 = every doc (definitely boilerplate at any corpus size),
+    # mod 3 = frequent, mod 400 = 2 occurrences on the 500-doc test
+    # corpora — BELOW the dedup threshold, so the op must keep it.
+    (1, "Subscribe to our newsletter for updates."),
+    (3, "All rights reserved."),
+    (400, "Archived snapshot of this page."),
+)
+LINE_DUP_MIN = 3   # corpus occurrences at which a line is boilerplate
+
+
+def plant_boilerplate(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Append deterministic boilerplate lines to each document (demo
+    input for :func:`line_dedup`; the DuckDB oracle rebuilds the
+    identical augmentation from ``doc_id`` — no RNG, replayable).
+    Pure projection; NULL text stays NULL (concat propagates)."""
+    out = F.col(text_col)
+    for mod, line in BOILERPLATE_PLANT:
+        out = F.when(F.col(id_col) % mod == 0,
+                     F.concat(out, F.lit("\n" + line))).otherwise(out)
+    return docs.withColumn(text_col, out)
+
+
+def line_dedup(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text",
+               min_count: int = LINE_DUP_MIN) -> DataFrame:
+    """Corpus-level line deduplication — the C4 boilerplate rule
+    (Raffel et al. 2020, §2.2 of the C4 construction): a line whose
+    trimmed form occurs ``min_count``+ times ACROSS THE CORPUS is
+    boilerplate (nav bars, cookie banners, license footers); drop
+    every occurrence except the first (minimum ``(doc_id, line_no)``),
+    and reassemble each document from its surviving lines in order.
+
+    Output per document: ``n_lines``, ``n_kept``, ``clean_text``
+    (NULL text -> NULL row values, the q28 convention).  Empty /
+    whitespace-only lines never participate in counting and are
+    always kept (they all share one md5 key and are structural, not
+    boilerplate).
+
+    Shape at scale: lines explode map-side; corpus frequencies come
+    from a map-side-combining ``groupBy`` over fixed-width ``md5``
+    keys (never a window over the line key — the degenerate
+    boilerplate line IS the skewed key, and a window would funnel
+    all its occurrences through one task; the groupBy ships only
+    (key, partial-count, partial-min) rows).  The join back is an
+    equi-join AQE can skew-split; reassembly is one groupBy on the
+    doc id with per-doc-bounded state (sort_array over the doc's own
+    lines)."""
+    lines = (docs.where(F.col(text_col).isNotNull())
+             .select(id_col, F.posexplode(F.split(F.col(text_col), "\n"))
+                     .alias("_ln", "_line")))
+    keyed = lines.select(
+        id_col, "_ln", "_line", F.md5(F.trim(F.col("_line"))).alias("_k"))
+    sizes = (keyed.where(F.length(F.trim(F.col("_line"))) > 0)
+             .groupBy("_k")
+             .agg(F.count("*").alias("_c"),
+                  F.min(F.struct(F.col(id_col).alias("d"),
+                                 F.col("_ln").alias("l"))).alias("_first")))
+    ann = keyed.join(sizes, "_k", "left")
+    keep = (F.col("_c").isNull()
+            | (F.col("_c") < min_count)
+            | ((F.col("_first.d") == F.col(id_col))
+               & (F.col("_first.l") == F.col("_ln"))))
+    per = (ann.select(id_col, "_ln", "_line", keep.alias("_keep"))
+           .groupBy(id_col)
+           .agg(F.count("*").alias("n_lines"),
+                F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+                F.array_join(
+                    F.transform(
+                        F.filter(
+                            F.sort_array(F.collect_list(
+                                F.struct("_ln", "_line", "_keep"))),
+                            lambda s: s["_keep"]),
+                        lambda s: s["_line"]),
+                    "\n").alias("clean_text")))
+    return (docs.select(id_col).join(per, id_col, "left")
+            .select(id_col, "n_lines", "n_kept", "clean_text"))
+
+
+# --- cross-document duplicate span detection (Lee et al. style) ----------
+
+DUPSPAN_NGRAM = 8  # window width in words, matches decontamination's
+
+
+def duplicate_span_stats(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         n: int = DUPSPAN_NGRAM) -> DataFrame:
+    """Substring-level duplication signals — the cross-document
+    counterpart of :func:`repetition_signals` (which is within-doc)
+    and the detection half of exact-substring training-data dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): per document, how many of its DISTINCT n-word
+    spans also appear in at least one OTHER document's text, and the
+    duplicated fraction.
+
+    Output: ``n_spans`` (distinct n-gram windows), ``n_dup_spans``
+    (those shared with >=1 other doc), ``dup_span_frac`` (rounded 6
+    for cross-engine float parity); NULL text -> NULL row values.
+
+    Shape at scale: spans come from :func:`word_shingles` (the
+    let-bound O(len) construction), per-doc ``array_distinct``
+    BEFORE exploding so the corpus-wide count of a span key equals
+    its document frequency with a plain ``COUNT(*)`` — no
+    countDistinct double shuffle; keys are fixed-width ``md5`` so
+    the shuffle never carries span text and a degenerate span can't
+    produce fat rows.  One map-side-combining groupBy + one
+    equi-join back + one per-doc agg."""
+    hashed = (docs.where(F.col(text_col).isNotNull())
+              .select(id_col,
+                      F.explode(F.array_distinct(
+                          word_shingles(F.col(text_col), n))).alias("_sh"))
+              .select(id_col, F.md5(F.col("_sh")).alias("_h")))
+    sizes = hashed.groupBy("_h").agg(F.count("*").alias("_docs"))
+    per = (hashed.join(sizes, "_h")
+           .groupBy(id_col)
+           .agg(F.count("*").alias("n_spans"),
+                F.sum((F.col("_docs") >= 2).cast("long"))
+                .alias("n_dup_spans")))
+    return (docs.select(id_col).join(per, id_col, "left")
+            .select(id_col, "n_spans", "n_dup_spans",
+                    F.round(F.col("n_dup_spans") / F.col("n_spans"), 6)
+                    .alias("dup_span_frac")))

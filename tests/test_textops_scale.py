@@ -739,3 +739,100 @@ def test_q31_q33_null_text_parity(spark):
     # and the NULL rows are actually present (not silently dropped)
     assert any(r.clean_text is None
                for r in frames["q31_pii_scrub"].collect())
+
+
+def test_line_dedup_c4_semantics(spark):
+    """The C4 rule end-to-end on the planted corpus: the every-doc
+    boilerplate line survives EXACTLY once (its first occurrence,
+    doc 0); the 2-occurrence rare line (below LINE_DUP_MIN) survives
+    in both its docs; doc 0 — globally first for all its keys —
+    keeps every line; per-row n_kept matches the reassembled text."""
+    from ollie_spark.spark.textops import (BOILERPLATE_PLANT, line_dedup,
+                                           plant_boilerplate)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = line_dedup(plant_boilerplate(docs)).collect()
+    by_id = {r.doc_id: r for r in rows}
+    newsletter, rare = BOILERPLATE_PLANT[0][1], BOILERPLATE_PLANT[2][1]
+    n_news = sum(r.clean_text.split("\n").count(newsletter) for r in rows)
+    assert n_news == 1
+    assert newsletter in by_id[0].clean_text
+    assert rare in by_id[0].clean_text and rare in by_id[400].clean_text
+    assert by_id[0].n_kept == by_id[0].n_lines
+    assert sum(r.n_lines - r.n_kept for r in rows) > 0
+    for r in rows:
+        got = len(r.clean_text.split("\n")) if r.clean_text else 0
+        assert got == r.n_kept, r
+
+
+def test_duplicate_span_stats_semantics(spark):
+    """Hand-checkable corpus: two identical 10-word docs share every
+    8-word window (3 distinct spans, frac 1.0); a unique doc shares
+    none; NULL text propagates NULLs (the q28 convention)."""
+    from ollie_spark.spark.textops import duplicate_span_stats
+    twin = " ".join(f"w{i}" for i in range(10))
+    uniq = " ".join(f"u{i}" for i in range(10))
+    d = spark.createDataFrame(
+        [(1, twin), (2, twin), (3, uniq), (4, None)],
+        "doc_id long, text string")
+    by_id = {r.doc_id: r for r in duplicate_span_stats(d).collect()}
+    assert by_id[1].n_spans == 3 and by_id[1].n_dup_spans == 3
+    assert by_id[1].dup_span_frac == 1.0
+    assert by_id[3].n_spans == 3 and by_id[3].n_dup_spans == 0
+    assert (by_id[4].n_spans is None and by_id[4].n_dup_spans is None
+            and by_id[4].dup_span_frac is None)
+
+
+def test_corpus_dedup_plans_carry_no_window(spark):
+    """line_dedup / duplicate_span_stats count their (skewed) line and
+    span keys with map-side-combining groupBys — a Window over the key
+    would colocate every occurrence of the degenerate boilerplate line
+    on one task (the r6 _minhash_sized fix class).  The oracles DO
+    spell windows (DuckDB runs at oracle scale); Spark must not."""
+    from ollie_spark.spark.textops import (duplicate_span_stats, line_dedup,
+                                           plant_boilerplate)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df in (line_dedup(plant_boilerplate(docs)),
+               duplicate_span_stats(docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "SinglePartition" not in plan
+
+
+def test_q34_q35_null_text_parity(spark):
+    """NULL text flows through q34/q35 with identical three-valued
+    logic in both engines (the q31-q33 precedent)."""
+    import math
+
+    from ollie_spark.spark.textops import (duplicate_span_stats, line_dedup,
+                                           plant_boilerplate)
+    rows = [(1, None, "en"), (2, "a b c d e", "en"),
+            (3, "x y\nx y", None)]
+    d = spark.createDataFrame(rows, "doc_id long, text string, "
+                              "lang string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents "
+                "(doc_id BIGINT, text VARCHAR, lang VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?,?,?)", rows)
+
+    def norm(v):
+        if isinstance(v, float):
+            return "nan" if math.isnan(v) else round(v, 6)
+        return v
+
+    def key(t):
+        return tuple((x is None, x) for x in t)
+
+    oracles = entry_mod.oracle_sql()
+    frames = {"q34_line_dedup": line_dedup(plant_boilerplate(d)),
+              "q35_dup_spans": duplicate_span_stats(d)}
+    for name, sdf in frames.items():
+        scols = sdf.columns
+        so = sorted((tuple(norm(r[c]) for c in sorted(scols))
+                     for r in sdf.collect()), key=key)
+        res = con.execute(oracles[name])
+        ocols = [x[0] for x in res.description]
+        oo = sorted((tuple(norm(v) for _, v in sorted(zip(ocols, row)))
+                     for row in res.fetchall()), key=key)
+        assert so == oo, name
+    assert any(r.clean_text is None
+               for r in frames["q34_line_dedup"].collect())
