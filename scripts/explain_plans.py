@@ -29,6 +29,7 @@ PLAN_QUERIES = [
     "q26_corpus_term_stats", "q27_decontaminate",
     "q28_repetition_signals", "q29_tfidf_keywords",
     "q31_pii_scrub", "q32_mixture_weights", "q33_pack_shards",
+    "q34_line_dedup", "q35_dup_spans",
 ]
 
 
