@@ -1232,8 +1232,11 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
     lines = (docs.where(F.col(text_col).isNotNull())
              .select(id_col, F.posexplode(F.split(F.col(text_col), "\n"))
                      .alias("_ln", "_line")))
-    keyed = lines.select(
-        id_col, "_ln", "_line", F.md5(F.trim(F.col("_line"))).alias("_k"))
+    # BOTH the frequency agg and the join-back read the exploded
+    # frame — materialize it once (the _minhash_sized discipline) so
+    # the corpus split/explode doesn't run twice
+    keyed = materialize_once(lines.select(
+        id_col, "_ln", "_line", F.md5(F.trim(F.col("_line"))).alias("_k")))
     sizes = (keyed.where(F.length(F.trim(F.col("_line"))) > 0)
              .groupBy("_k")
              .agg(F.count("*").alias("_c"),
@@ -1288,11 +1291,15 @@ def duplicate_span_stats(docs: DataFrame, id_col: str = "doc_id",
     the shuffle never carries span text and a degenerate span can't
     produce fat rows.  One map-side-combining groupBy + one
     equi-join back + one per-doc agg."""
-    hashed = (docs.where(F.col(text_col).isNotNull())
-              .select(id_col,
-                      F.explode(F.array_distinct(
-                          word_shingles(F.col(text_col), n))).alias("_sh"))
-              .select(id_col, F.md5(F.col("_sh")).alias("_h")))
+    # (doc_id, fixed-width hash) only — materializing this narrow
+    # frame is far cheaper than running the shingle construction
+    # twice (the frequency agg AND the join-back both read it)
+    hashed = materialize_once(
+        docs.where(F.col(text_col).isNotNull())
+        .select(id_col,
+                F.explode(F.array_distinct(
+                    word_shingles(F.col(text_col), n))).alias("_sh"))
+        .select(id_col, F.md5(F.col("_sh")).alias("_h")))
     sizes = hashed.groupBy("_h").agg(F.count("*").alias("_docs"))
     per = (hashed.join(sizes, "_h")
            .groupBy(id_col)

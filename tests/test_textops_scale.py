@@ -796,6 +796,10 @@ def test_corpus_dedup_plans_carry_no_window(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan
         assert "SinglePartition" not in plan
+        # the exploded frame is materialized once and BOTH consumers
+        # (frequency agg + join-back) read it — no Generate may
+        # survive into the final plan
+        assert "Generate" not in plan
 
 
 def test_q34_q35_null_text_parity(spark):
