@@ -468,6 +468,20 @@ def q35_dup_spans(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q36_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split
+    (ollie_spark.spark.textops.leakage_safe_split): connected
+    components over the capped MinHash band-pair set, split chosen by
+    md5 of the component representative so a near-dup cluster never
+    straddles splits (transitively — unlike q25's greedy pair rule).
+    The oracle recomputes the components with a RECURSIVE reachability
+    CTE over the same banded pair construction, independently
+    cross-checking the distributed CC path."""
+    from ollie_spark.spark.textops import leakage_safe_split
+    return (leakage_safe_split(_t(spark, sf_dir, "documents"))
+            .orderBy("doc_id"))
+
+
 # ------------------------------------------- KG queries (no SQL oracle)
 
 def kg_extract_mentions(spark, sf_dir):
@@ -588,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_pack_shards": q33_pack_shards,
         "q34_line_dedup": q34_line_dedup,
         "q35_dup_spans": q35_dup_spans,
+        "q36_leakage_safe_split": q36_leakage_safe_split,
         "kg_extract_mentions": kg_extract_mentions,
         "kg_graph_edges": kg_graph_edges,
         "kg_media_features": kg_media_features,
@@ -661,7 +676,20 @@ def oracle_sql() -> dict[str, str]:
                                            SHARD_TOKEN_BUDGET as _SHARD_B)
     from ollie_spark.spark.textops import (BOILERPLATE_PLANT as _BP,
                                            DUPSPAN_NGRAM as _DSN,
-                                           LINE_DUP_MIN as _LDM)
+                                           LINE_DUP_MIN as _LDM,
+                                           SPLIT_FRACTIONS as _SPF,
+                                           SPLIT_PAD_W as _SPW)
+    # q36 split CASE from the cumulative fractions; the md5 input is
+    # the lpad-ed representative, exactly what Spark's component
+    # labels are (lexicographic min == numeric min at fixed width)
+    _acc, _cuts = 0.0, []
+    for _nm, _fr in _SPF:
+        _acc += _fr
+        _cuts.append((_nm, rate_to_hex_threshold(_acc)))
+    _split_case = ("CASE " + " ".join(
+        f"WHEN substr(md5(lpad(CAST(rep AS VARCHAR), {_SPW}, '0')), "
+        f"1, 4) < '{thr}' THEN '{nm}'" for nm, thr in _cuts)
+        + " ELSE 'train' END")
     # q34 augmentation mirrors plant_boilerplate's when-chain append
     # order exactly; the planted lines contain no quotes by
     # construction.  NULL text propagates through || in both engines.
@@ -1229,4 +1257,23 @@ def oracle_sql() -> dict[str, str]:
                        AS dup_span_frac
             FROM documents d LEFT JOIN per p USING (doc_id)
             ORDER BY d.doc_id""",
+        # independent recompute of the distributed CC path: transitive
+        # reachability as a RECURSIVE CTE over the SAME capped banded
+        # pair construction q12 uses; MIN(r) is the numeric spelling
+        # of Spark's lexicographic min-label over lpad-ed ids
+        "q36_leakage_safe_split":
+        banded.replace("WITH ", "WITH RECURSIVE ", 1) + f"""
+            , sym AS (SELECT DISTINCT a.doc_id AS id, b.doc_id AS nb
+                      FROM banded a JOIN banded b USING (band_key)
+                      WHERE a.doc_id <> b.doc_id),
+            reach AS (
+                SELECT doc_id AS id, doc_id AS r FROM documents
+                UNION
+                SELECT s.nb AS id, reach.r FROM reach
+                JOIN sym s ON s.id = reach.id),
+            rep AS (SELECT id AS doc_id, MIN(r) AS rep FROM reach
+                    GROUP BY id)
+            SELECT doc_id, CAST(rep AS BIGINT) AS rep_id,
+                   {_split_case} AS split
+            FROM rep ORDER BY doc_id""",
     }

@@ -1310,3 +1310,55 @@ def duplicate_span_stats(docs: DataFrame, id_col: str = "doc_id",
             .select(id_col, "n_spans", "n_dup_spans",
                     F.round(F.col("n_dup_spans") / F.col("n_spans"), 6)
                     .alias("dup_span_frac")))
+
+
+# --- leakage-safe train/val/test split -----------------------------------
+
+SPLIT_FRACTIONS = (("test", 0.1), ("val", 0.1))  # remainder = train
+SPLIT_PAD_W = 12   # lpad width: lexicographic order == numeric id order
+
+
+def leakage_safe_split(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       fractions=SPLIT_FRACTIONS) -> DataFrame:
+    """Deterministic train/val/test assignment in which a near-dup
+    CLUSTER never straddles a split — the leakage guarantee a plain
+    per-doc hash split cannot give (if doc A is in train and its
+    near-duplicate B in test, the benchmark is contaminated; and the
+    guarantee must be transitive: A~B, B~C puts A and C on the same
+    side even when A and C share no band, which is why this is
+    connected components over the MinHash pair set, not q25's greedy
+    pairwise keep-rule).  Split is chosen by md5 of the component
+    REPRESENTATIVE, so membership moves with the cluster.
+
+    doc ids are lpad-ed to :data:`SPLIT_PAD_W` so the CC min-label
+    (lexicographic on strings) equals numeric min — the q24 trick —
+    and ``rep_id`` casts back losslessly in both engines.
+
+    Shape at scale: the pair set is a capped band join (orders of
+    magnitude smaller than the corpus); only paired vertices enter
+    the CC iteration (isolated docs short-circuit to component =
+    self, linking.connected_components); the split itself is a pure
+    projection over the component hash.  The corpus is scanned once
+    for signatures; nothing all-pairs, no corpus shuffle."""
+    from ollie_spark.spark.linking import connected_components
+
+    def pad(c):
+        return F.lpad(c.cast("string"), SPLIT_PAD_W, "0")
+
+    pairs = minhash_band_pairs(docs, id_col=id_col, text_col=text_col)
+    cc = connected_components(
+        pairs.select(pad(F.col("doc_a")).alias("norm_a"),
+                     pad(F.col("doc_b")).alias("norm_b")),
+        docs.select(pad(F.col(id_col)).alias("norm")))
+    h = F.substring(F.md5(F.col("component")), 1, 4)
+    cum, split = 0.0, None
+    for name, frac in fractions:
+        cum += frac
+        cut = F.lit(rate_to_hex_threshold(cum))
+        split = (F.when(h < cut, name) if split is None
+                 else split.when(h < cut, name))
+    return cc.select(
+        F.col("norm").cast("bigint").alias(id_col),
+        F.col("component").cast("bigint").alias("rep_id"),
+        split.otherwise("train").alias("split"))

@@ -840,3 +840,28 @@ def test_q34_q35_null_text_parity(spark):
         assert so == oo, name
     assert any(r.clean_text is None
                for r in frames["q34_line_dedup"].collect())
+
+
+def test_leakage_safe_split_guarantee(spark):
+    """The property the op exists for: every near-dup pair's two docs
+    share a component representative AND a split (transitively, via
+    CC — not just per-pair); the representative is the min member;
+    the assignment partitions the corpus and all three splits are
+    populated at 10/10/80."""
+    from ollie_spark.spark.textops import (leakage_safe_split,
+                                           minhash_band_pairs)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = leakage_safe_split(docs).collect()
+    assert len(rows) == docs.count()
+    by = {r.doc_id: r for r in rows}
+    assert len(by) == len(rows)
+    splits = {r.split for r in rows}
+    assert splits == {"train", "val", "test"}
+    assert sum(r.split == "train" for r in rows) > len(rows) / 2
+    for r in rows:
+        assert r.rep_id <= r.doc_id
+    pairs = minhash_band_pairs(docs).collect()
+    assert pairs, "corpus has no near-dup pairs; test is vacuous"
+    for p in pairs:
+        assert by[p.doc_a].rep_id == by[p.doc_b].rep_id, p
+        assert by[p.doc_a].split == by[p.doc_b].split, p
