@@ -865,3 +865,48 @@ def test_leakage_safe_split_guarantee(spark):
     for p in pairs:
         assert by[p.doc_a].rep_id == by[p.doc_b].rep_id, p
         assert by[p.doc_a].split == by[p.doc_b].split, p
+
+
+def test_line_dedup_matches_python_model(spark):
+    """Third-engine check on a seeded adversarial corpus the testdata
+    can't produce: multi-line docs drawn from a shared line pool
+    (interleaved first occurrences), empty lines, and whitespace
+    variants that share a trim-key but must surface verbatim.  The
+    pure-Python model spells the C4 rule directly."""
+    import random
+    from collections import Counter
+
+    from ollie_spark.spark.textops import LINE_DUP_MIN, line_dedup
+    rng = random.Random(42)
+    pool = [f"line {i} body" for i in range(30)]
+    corpus = {}
+    for d in range(200):
+        lines = [rng.choice(pool) if rng.random() < 0.7
+                 else f"uniq {d} {j}" for j in range(rng.randint(1, 6))]
+        if rng.random() < 0.3:
+            lines.insert(rng.randrange(len(lines) + 1), "")
+        if rng.random() < 0.3:
+            j = rng.randrange(len(lines))
+            lines[j] = "  " + lines[j] + " "
+        corpus[d] = lines
+
+    cnt, first = Counter(), {}
+    for d in sorted(corpus):
+        for ln, line in enumerate(corpus[d]):
+            t = line.strip()
+            if t:
+                cnt[t] += 1
+                first.setdefault(t, (d, ln))
+    expected = {}
+    for d in sorted(corpus):
+        kept = [line for ln, line in enumerate(corpus[d])
+                if line.strip() == "" or cnt[line.strip()] < LINE_DUP_MIN
+                or first[line.strip()] == (d, ln)]
+        expected[d] = (len(corpus[d]), len(kept), "\n".join(kept))
+
+    df = spark.createDataFrame(
+        [(d, "\n".join(ls)) for d, ls in corpus.items()],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_lines, r.n_kept, r.clean_text)
+           for r in line_dedup(df).collect()}
+    assert got == expected
