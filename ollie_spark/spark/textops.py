@@ -1320,7 +1320,8 @@ SPLIT_PAD_W = 12   # lpad width: lexicographic order == numeric id order
 
 def leakage_safe_split(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
-                       fractions=SPLIT_FRACTIONS) -> DataFrame:
+                       fractions=SPLIT_FRACTIONS,
+                       cc_local_threshold: int = 1_000_000) -> DataFrame:
     """Deterministic train/val/test assignment in which a near-dup
     CLUSTER never straddles a split — the leakage guarantee a plain
     per-doc hash split cannot give (if doc A is in train and its
@@ -1350,7 +1351,8 @@ def leakage_safe_split(docs: DataFrame, id_col: str = "doc_id",
     cc = connected_components(
         pairs.select(pad(F.col("doc_a")).alias("norm_a"),
                      pad(F.col("doc_b")).alias("norm_b")),
-        docs.select(pad(F.col(id_col)).alias("norm")))
+        docs.select(pad(F.col(id_col)).alias("norm")),
+        local_threshold=cc_local_threshold)
     h = F.substring(F.md5(F.col("component")), 1, 4)
     cum, split = 0.0, None
     for name, frac in fractions:

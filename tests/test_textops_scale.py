@@ -910,3 +910,17 @@ def test_line_dedup_matches_python_model(spark):
     got = {r.doc_id: (r.n_lines, r.n_kept, r.clean_text)
            for r in line_dedup(df).collect()}
     assert got == expected
+
+
+def test_leakage_split_distributed_cc_path_equivalence(spark):
+    """At oracle scale the pair count always takes the union-find
+    escape hatch — force cc_local_threshold=0 so the distributed
+    min-label loop resolves the SAME components (the production path
+    at web scale), and the full (doc_id, rep_id, split) assignment is
+    identical."""
+    from ollie_spark.spark.textops import leakage_safe_split
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = sorted(map(tuple, leakage_safe_split(docs).collect()))
+    dist = sorted(map(tuple, leakage_safe_split(
+        docs, cc_local_threshold=0).collect()))
+    assert base == dist
