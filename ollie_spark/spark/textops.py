@@ -1321,7 +1321,11 @@ SPLIT_PAD_W = 12   # lpad width: lexicographic order == numeric id order
 def leakage_safe_split(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
                        fractions=SPLIT_FRACTIONS,
-                       cc_local_threshold: int = 1_000_000) -> DataFrame:
+                       max_bucket: int = DEFAULT_MAX_BAND_BUCKET,
+                       cc_local_threshold: int = 1_000_000,
+                       cc_algorithm: str = "min_label",
+                       cc_max_iter: int = 15,
+                       metrics_out: dict | None = None) -> DataFrame:
     """Deterministic train/val/test assignment in which a near-dup
     CLUSTER never straddles a split — the leakage guarantee a plain
     per-doc hash split cannot give (if doc A is in train and its
@@ -1341,26 +1345,50 @@ def leakage_safe_split(docs: DataFrame, id_col: str = "doc_id",
     the CC iteration (isolated docs short-circuit to component =
     self, linking.connected_components); the split itself is a pure
     projection over the component hash.  The corpus is scanned once
-    for signatures; nothing all-pairs, no corpus shuffle."""
+    for signatures; nothing all-pairs, no corpus shuffle.
+
+    TWO documented limits of the guarantee, both observable:
+
+    - a band bucket larger than ``max_bucket`` is dropped before the
+      self-join (the cap-and-count discipline), so members of a
+      mega-cluster of near-identical boilerplate may lose ALL their
+      pairs and fall back to independent per-doc assignment.  Pass
+      ``metrics_out`` to read ``dropped_bands`` — never silent; in a
+      real funnel exact dedup (q30 stage 4) removes such
+      byte-identical shapes before splitting.
+    - the default ``min_label`` CC converges in O(graph diameter)
+      rounds; a >``cc_max_iter``-diameter drift chain on the
+      distributed path warns and may split a component.  Pass
+      ``cc_algorithm="star"`` (O(log n) rounds regardless of
+      diameter) for adversarially chain-shaped corpora."""
     from ollie_spark.spark.linking import connected_components
 
     def pad(c):
         return F.lpad(c.cast("string"), SPLIT_PAD_W, "0")
 
-    pairs = minhash_band_pairs(docs, id_col=id_col, text_col=text_col)
+    pairs = minhash_band_pairs(docs, id_col=id_col, text_col=text_col,
+                               max_bucket=max_bucket,
+                               metrics_out=metrics_out)
     cc = connected_components(
         pairs.select(pad(F.col("doc_a")).alias("norm_a"),
                      pad(F.col("doc_b")).alias("norm_b")),
         docs.select(pad(F.col(id_col)).alias("norm")),
-        local_threshold=cc_local_threshold)
-    h = F.substring(F.md5(F.col("component")), 1, 4)
+        local_threshold=cc_local_threshold,
+        algorithm=cc_algorithm, max_iter=cc_max_iter)
+    # two-step projection: the hash lands as an aliased column and the
+    # CASE chain references it as a column ref — inlining it would
+    # re-evaluate the md5 once per WHEN branch (the q23 trap)
+    ann = cc.select("norm", "component",
+                    F.substring(F.md5(F.col("component")), 1, 4)
+                    .alias("_h"))
+    h = F.col("_h")
     cum, split = 0.0, None
     for name, frac in fractions:
         cum += frac
         cut = F.lit(rate_to_hex_threshold(cum))
         split = (F.when(h < cut, name) if split is None
                  else split.when(h < cut, name))
-    return cc.select(
+    return ann.select(
         F.col("norm").cast("bigint").alias(id_col),
         F.col("component").cast("bigint").alias("rep_id"),
         split.otherwise("train").alias("split"))

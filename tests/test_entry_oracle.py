@@ -38,6 +38,29 @@ def _rows_to_set(cols, rows):
     return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
+def assert_frame_matches_oracle(sdf, con, sql, name=""):
+    """Spark-vs-DuckDB compare in the driver-gate convention (floats
+    rounded to 6, NaN sentinel, columns sorted by name) with a
+    None-safe row sort — the ONE shared spelling for the null-parity
+    tests in test_textops_scale.py, so a change to the driver's
+    comparison convention has a single local mirror to update."""
+    srows = sdf.collect()
+    scols = sdf.columns
+    res = con.execute(sql)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(scols) == sorted(ocols), f"{name}: column mismatch"
+
+    def key(t):
+        return tuple((x is None, str(x)) for x in t)
+
+    so = sorted((tuple(_norm(r[c]) for c in sorted(scols))
+                 for r in srows), key=key)
+    oo = sorted((tuple(_norm(v) for _, v in sorted(zip(ocols, row)))
+                 for row in orows), key=key)
+    assert so == oo, name
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, ddb, name):
     sdf = QUERIES[name](spark, SF_DIR)

@@ -703,8 +703,6 @@ def test_q31_q33_null_text_parity(spark):
     does not.  pii counts/clean_text go NULL; a NULL token count is
     skipped by every SUM (mixture totals, prefix windows) the same
     way in Spark and DuckDB."""
-    import math
-
     from ollie_spark.spark.textops import (mixture_weights, pack_training_shards,
                                            pii_scrub, plant_pii)
     rows = [(1, None, "en"), (2, "a b c d e", "en"), (3, "x y", None)]
@@ -715,27 +713,13 @@ def test_q31_q33_null_text_parity(spark):
                 "(doc_id BIGINT, text VARCHAR, lang VARCHAR)")
     con.executemany("INSERT INTO documents VALUES (?,?,?)", rows)
 
-    def norm(v):
-        if isinstance(v, float):
-            return "nan" if math.isnan(v) else round(v, 6)
-        return v
-
-    def key(t):
-        return tuple((x is None, x) for x in t)
-
+    from test_entry_oracle import assert_frame_matches_oracle
     oracles = entry_mod.oracle_sql()
     frames = {"q31_pii_scrub": pii_scrub(plant_pii(d)),
               "q32_mixture_weights": mixture_weights(d),
               "q33_pack_shards": pack_training_shards(d)}
     for name, sdf in frames.items():
-        scols = sdf.columns
-        so = sorted((tuple(norm(r[c]) for c in sorted(scols))
-                     for r in sdf.collect()), key=key)
-        res = con.execute(oracles[name])
-        ocols = [x[0] for x in res.description]
-        oo = sorted((tuple(norm(v) for _, v in sorted(zip(ocols, row)))
-                     for row in res.fetchall()), key=key)
-        assert so == oo, name
+        assert_frame_matches_oracle(sdf, con, oracles[name], name)
     # and the NULL rows are actually present (not silently dropped)
     assert any(r.clean_text is None
                for r in frames["q31_pii_scrub"].collect())
@@ -760,7 +744,9 @@ def test_line_dedup_c4_semantics(spark):
     assert by_id[0].n_kept == by_id[0].n_lines
     assert sum(r.n_lines - r.n_kept for r in rows) > 0
     for r in rows:
-        got = len(r.clean_text.split("\n")) if r.clean_text else 0
+        # '' is ambiguous: zero kept lines OR one kept empty line
+        got = (len(r.clean_text.split("\n"))
+               if (r.clean_text or r.n_kept) else 0)
         assert got == r.n_kept, r
 
 
@@ -805,8 +791,6 @@ def test_corpus_dedup_plans_carry_no_window(spark):
 def test_q34_q35_null_text_parity(spark):
     """NULL text flows through q34/q35 with identical three-valued
     logic in both engines (the q31-q33 precedent)."""
-    import math
-
     from ollie_spark.spark.textops import (duplicate_span_stats, line_dedup,
                                            plant_boilerplate)
     rows = [(1, None, "en"), (2, "a b c d e", "en"),
@@ -818,26 +802,12 @@ def test_q34_q35_null_text_parity(spark):
                 "(doc_id BIGINT, text VARCHAR, lang VARCHAR)")
     con.executemany("INSERT INTO documents VALUES (?,?,?)", rows)
 
-    def norm(v):
-        if isinstance(v, float):
-            return "nan" if math.isnan(v) else round(v, 6)
-        return v
-
-    def key(t):
-        return tuple((x is None, x) for x in t)
-
+    from test_entry_oracle import assert_frame_matches_oracle
     oracles = entry_mod.oracle_sql()
     frames = {"q34_line_dedup": line_dedup(plant_boilerplate(d)),
               "q35_dup_spans": duplicate_span_stats(d)}
     for name, sdf in frames.items():
-        scols = sdf.columns
-        so = sorted((tuple(norm(r[c]) for c in sorted(scols))
-                     for r in sdf.collect()), key=key)
-        res = con.execute(oracles[name])
-        ocols = [x[0] for x in res.description]
-        oo = sorted((tuple(norm(v) for _, v in sorted(zip(ocols, row)))
-                     for row in res.fetchall()), key=key)
-        assert so == oo, name
+        assert_frame_matches_oracle(sdf, con, oracles[name], name)
     assert any(r.clean_text is None
                for r in frames["q34_line_dedup"].collect())
 
@@ -924,3 +894,34 @@ def test_leakage_split_distributed_cc_path_equivalence(spark):
     dist = sorted(map(tuple, leakage_safe_split(
         docs, cc_local_threshold=0).collect()))
     assert base == dist
+
+
+def test_leakage_split_cap_hole_is_observable(spark):
+    """The documented guarantee limit: a near-dup mega-cluster whose
+    band buckets exceed max_bucket loses all its pairs and falls back
+    to independent assignment — but NEVER silently (metrics_out
+    surfaces dropped_bands).  With the cap above the cluster size the
+    same corpus collapses to one component."""
+    from ollie_spark.spark.textops import leakage_safe_split
+    docs = spark.createDataFrame(
+        [(i, "lorem ipsum dolor sit amet consectetur adipiscing elit")
+         for i in range(40)], "doc_id long, text string")
+    mo = {}
+    capped = leakage_safe_split(docs, max_bucket=16, metrics_out=mo)
+    assert mo["dropped_bands"] > 0
+    assert all(r.rep_id == r.doc_id for r in capped.collect())
+    mo2 = {}
+    full = leakage_safe_split(docs, metrics_out=mo2)
+    assert mo2["dropped_bands"] == 0
+    assert {r.rep_id for r in full.collect()} == {0}
+
+
+def test_leakage_split_star_cc_equivalence(spark):
+    """cc_algorithm='star' (O(log n) rounds, the adversarial-chain
+    path) must produce the identical assignment."""
+    from ollie_spark.spark.textops import leakage_safe_split
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = sorted(map(tuple, leakage_safe_split(docs).collect()))
+    star = sorted(map(tuple, leakage_safe_split(
+        docs, cc_local_threshold=0, cc_algorithm="star").collect()))
+    assert base == star
