@@ -925,3 +925,33 @@ def test_leakage_split_star_cc_equivalence(spark):
     star = sorted(map(tuple, leakage_safe_split(
         docs, cc_local_threshold=0, cc_algorithm="star").collect()))
     assert base == star
+
+
+def test_curation_to_training_pipeline_end_to_end(spark):
+    """The whole training-data story composes: curate() -> leakage-
+    safe split -> token-budget shard packing of the train side.  Pins
+    the cross-op column conventions and the packing invariants on the
+    composed (non-contiguous-id) frame: every train doc in exactly
+    one shard, inclusive cumsum consistent in doc_id order, shard
+    assignment by exclusive prefix."""
+    from ollie_spark.spark.textops import (SHARD_TOKEN_BUDGET, curate,
+                                           leakage_safe_split,
+                                           pack_training_shards)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    curated = curate(docs)
+    n_curated = curated.count()
+    assert 0 < n_curated < docs.count()
+    split = leakage_safe_split(curated)
+    assert split.count() == n_curated
+    train = curated.join(
+        split.where(F.col("split") == "train").select("doc_id"),
+        "doc_id")
+    packed = sorted(pack_training_shards(train).collect(),
+                    key=lambda r: r.doc_id)
+    assert len(packed) == train.count() > 0
+    cum = 0
+    for r in packed:
+        cum += r.n_tokens
+        assert r.cum_tokens == cum
+        assert r.shard_id == (r.cum_tokens - r.n_tokens) \
+            // SHARD_TOKEN_BUDGET
