@@ -175,6 +175,11 @@ def q11_dedup_exact(spark, sf_dir):
             .orderBy("lang"))
 
 
+from ollie_spark.spark.temporal import \
+    SESSION_GAP_MINUTES as _SESSION_GAP_MIN  # noqa: E402
+
+_SESSION_GAP_US = _SESSION_GAP_MIN * 60_000_000
+
 from ollie_spark.spark.textops import (DEFAULT_MAX_BAND_BUCKET as _MAX_BAND,  # noqa: E402
                                        DEFAULT_MAX_JACCARD_BLOCK as _MAX_BLOCK,
                                        MINHASH_SEEDS as _MINHASH_SEEDS,
@@ -482,6 +487,48 @@ def q36_leakage_safe_split(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q37_sessionize(spark, sf_dir):
+    """Gap-based sessionization
+    (ollie_spark.spark.temporal.sessionize): a new session after a
+    >30-min silence, per-user partitioned windows only (never a
+    global ORDER BY ts — that is a SinglePartition at scale);
+    timestamps compare in integer microseconds so the boundary rule
+    is bit-exact across engines.  The output carries ts as BIGINT
+    micros (unix_micros / DuckDB epoch_us) — raw timestamp columns
+    would make the value hash depend on engine repr, micros cannot."""
+    from ollie_spark.spark.temporal import epoch_us, sessionize
+    res = sessionize(_t(spark, sf_dir, "events"))
+    return (res.select("event_id", "user_id",
+                       epoch_us("ts").alias("ts_us"), "session_id")
+            .orderBy("event_id"))
+
+
+def q38_asof_purchase(spark, sf_dir):
+    """As-of attachment (ollie_spark.spark.temporal.asof_attach):
+    each event carries the user's most recent strictly-prior purchase
+    value — the as-of join spelled as last(ignorenulls) over a
+    user-partitioned ROWS window instead of a range self-join
+    (O(events x per-user-events)) or a global sort."""
+    from ollie_spark.spark.temporal import asof_attach
+    return asof_attach(_t(spark, sf_dir, "events")).orderBy("event_id")
+
+
+def q39_json_props(spark, sf_dir):
+    """Semi-structured column support: extract a typed field from the
+    JSON props string (get_json_object, JVM-side — no UDF) and
+    aggregate per event type; the oracle uses DuckDB's independent
+    JSON parser (json_extract_string), so the extraction semantics
+    are cross-engine checked."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (ev.select("event_type", k.alias("_k"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("_k").alias("sum_k"),
+                 F.round(F.avg("_k"), 6).alias("avg_k"))
+            .orderBy("event_type"))
+
+
 # ------------------------------------------- KG queries (no SQL oracle)
 
 def kg_extract_mentions(spark, sf_dir):
@@ -603,6 +650,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_line_dedup": q34_line_dedup,
         "q35_dup_spans": q35_dup_spans,
         "q36_leakage_safe_split": q36_leakage_safe_split,
+        "q37_sessionize": q37_sessionize,
+        "q38_asof_purchase": q38_asof_purchase,
+        "q39_json_props": q39_json_props,
         "kg_extract_mentions": kg_extract_mentions,
         "kg_graph_edges": kg_graph_edges,
         "kg_media_features": kg_media_features,
@@ -1276,4 +1326,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(rep AS BIGINT) AS rep_id,
                    {_split_case} AS split
             FROM rep ORDER BY doc_id""",
+        # gap interpolated from temporal.SESSION_GAP_MINUTES; both
+        # engines compare integer microseconds (epoch_us/unix_micros)
+        # so boundary events are engine-independent
+        "q37_sessionize": f"""
+            WITH f AS (
+                SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                       CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                              OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                                 > {_SESSION_GAP_US} THEN 1 ELSE 0
+                       END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT event_id, user_id, ts_us,
+                   CAST(SUM(new_s) OVER (PARTITION BY user_id
+                                         ORDER BY ts_us, event_id)
+                        AS BIGINT) AS session_id
+            FROM f ORDER BY event_id""",
+        # DuckDB's IGNORE NULLS last_value over the same ROWS frame is
+        # an independent spelling of the strictly-prior as-of rule
+        "q38_asof_purchase": """
+            SELECT event_id, user_id, event_type,
+                   LAST_VALUE(CASE WHEN event_type = 'purchase'
+                                   THEN value END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING)
+                       AS last_purchase_value
+            FROM events ORDER BY event_id""",
+        # DuckDB's own JSON parser (json_extract_string) recomputes the
+        # field Spark pulls with get_json_object — a cross-engine check
+        # of the JSON-path semantics, not just the aggregate
+        "q39_json_props": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k')
+                                 AS BIGINT)) AS BIGINT) AS sum_k,
+                   ROUND(AVG(CAST(json_extract_string(props, '$.k')
+                                  AS BIGINT)), 6) AS avg_k
+            FROM events GROUP BY event_type ORDER BY event_type""",
     }
