@@ -179,6 +179,8 @@ from ollie_spark.spark.temporal import \
     SESSION_GAP_MINUTES as _SESSION_GAP_MIN  # noqa: E402
 
 _SESSION_GAP_US = _SESSION_GAP_MIN * 60_000_000
+_HOUR_US = 3_600_000_000          # q41 tumbling width
+_HALF_HOUR_US = 1_800_000_000     # q42 hopping slide (window = 2*slide)
 
 from ollie_spark.spark.textops import (DEFAULT_MAX_BAND_BUCKET as _MAX_BAND,  # noqa: E402
                                        DEFAULT_MAX_JACCARD_BLOCK as _MAX_BLOCK,
@@ -494,8 +496,9 @@ def q37_sessionize(spark, sf_dir):
     global ORDER BY ts — that is a SinglePartition at scale);
     timestamps compare in integer microseconds so the boundary rule
     is bit-exact across engines.  The output carries ts as BIGINT
-    micros (unix_micros / DuckDB epoch_us) — raw timestamp columns
-    would make the value hash depend on engine repr, micros cannot."""
+    micros (temporal.epoch_us / DuckDB epoch_us) — raw timestamp
+    columns would make the value hash depend on engine repr, micros
+    cannot."""
     from ollie_spark.spark.temporal import epoch_us, sessionize
     res = sessionize(_t(spark, sf_dir, "events"))
     return (res.select("event_id", "user_id",
@@ -527,6 +530,38 @@ def q39_json_props(spark, sf_dir):
                  F.sum("_k").alias("sum_k"),
                  F.round(F.avg("_k"), 6).alias("avg_k"))
             .orderBy("event_type"))
+
+
+def q40_session_stats(spark, sf_dir):
+    """Per-user session aggregates via Spark's NATIVE session_window
+    (the streaming-capable gap-merge operator).  The merge is
+    end-INCLUSIVE (an event at exactly window-end extends the session,
+    i.e. a new session only when the gap is strictly > gap — same rule
+    as q37's sessionize; pinned by a boundary test) — the oracle spells
+    the rule independently as a lag/running-sum grouping, so the native
+    operator's merge semantics are cross-engine checked."""
+    from ollie_spark.spark.temporal import session_stats
+    return (session_stats(_t(spark, sf_dir, "events"))
+            .orderBy("user_id", "session_start_us"))
+
+
+def q41_tumbling_rollup(spark, sf_dir):
+    """Fixed event-time windows (native window()): epoch-aligned
+    1-hour buckets per event type; the oracle recomputes the bucket
+    with integer floor division over epoch micros."""
+    from ollie_spark.spark.temporal import tumbling_rollup
+    return (tumbling_rollup(_t(spark, sf_dir, "events"))
+            .orderBy("window_start_us", "event_type"))
+
+
+def q42_hopping_rollup(spark, sf_dir):
+    """Hopping windows (1h window / 30min slide): every event lands in
+    exactly window/slide = 2 buckets; the oracle materializes the two
+    bucket assignments with a UNION ALL, checking Spark's internal
+    window expansion."""
+    from ollie_spark.spark.temporal import hopping_rollup
+    return (hopping_rollup(_t(spark, sf_dir, "events"))
+            .orderBy("window_start_us", "event_type"))
 
 
 # ------------------------------------------- KG queries (no SQL oracle)
@@ -653,6 +688,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_sessionize": q37_sessionize,
         "q38_asof_purchase": q38_asof_purchase,
         "q39_json_props": q39_json_props,
+        "q40_session_stats": q40_session_stats,
+        "q41_tumbling_rollup": q41_tumbling_rollup,
+        "q42_hopping_rollup": q42_hopping_rollup,
         "kg_extract_mentions": kg_extract_mentions,
         "kg_graph_edges": kg_graph_edges,
         "kg_media_features": kg_media_features,
@@ -1364,4 +1402,57 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(CAST(json_extract_string(props, '$.k')
                                   AS BIGINT)), 6) AS avg_k
             FROM events GROUP BY event_type ORDER BY event_type""",
+        # independent lag/running-sum spelling of session_window's
+        # merge rule: a window [t, t+gap) MERGES an event at exactly
+        # t+gap (end-INCLUSIVE merge, pinned by
+        # tests/test_temporal.py::test_session_stats_boundary), so a
+        # new session starts strictly > gap; window end = last + gap
+        "q40_session_stats": f"""
+            WITH f AS (
+                SELECT user_id, event_id, epoch_us(ts) AS us, value,
+                       CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                              OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                                 > {_SESSION_GAP_US} THEN 1 ELSE 0
+                       END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id, us, value,
+                         SUM(new_s) OVER (PARTITION BY user_id
+                                          ORDER BY us, event_id) AS sid
+                  FROM f)
+            SELECT user_id, MIN(us) AS session_start_us,
+                   MAX(us) + {_SESSION_GAP_US} AS session_end_us,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                       AS total_value
+            FROM s GROUP BY user_id, sid
+            ORDER BY user_id, session_start_us""",
+        # tumbling bucket recomputed as integer floor division over
+        # epoch micros (Spark's window() is epoch-aligned on the NTZ
+        # wall clock)
+        "q41_tumbling_rollup": f"""
+            SELECT (epoch_us(ts) // {_HOUR_US}) * {_HOUR_US}
+                       AS window_start_us,
+                   event_type, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                       AS total_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        # hopping (1h/30m): each event belongs to exactly the slide-
+        # aligned bucket containing it and the one slide earlier —
+        # materialized via UNION ALL (valid because window = 2*slide)
+        "q42_hopping_rollup": f"""
+            WITH e AS (SELECT epoch_us(ts) AS us, event_type, value
+                       FROM events),
+            x AS (
+                SELECT (us // {_HALF_HOUR_US}) * {_HALF_HOUR_US} AS ws,
+                       event_type, value FROM e
+                UNION ALL
+                SELECT (us // {_HALF_HOUR_US}) * {_HALF_HOUR_US}
+                           - {_HALF_HOUR_US} AS ws,
+                       event_type, value FROM e)
+            SELECT ws AS window_start_us, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                       AS total_value
+            FROM x GROUP BY ws, event_type ORDER BY ws, event_type""",
     }

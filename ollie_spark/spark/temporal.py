@@ -24,16 +24,15 @@ from pyspark.sql import functions as F
 
 SESSION_GAP_MINUTES = 30  # the classic web-analytics session gap
 
-_EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
-
-
-def epoch_us(col: str) -> Column:
+def epoch_us(col: str | Column) -> Column:
     """Wall-clock epoch microseconds of a TIMESTAMP_NTZ column —
     session-timezone-independent, bit-equal to DuckDB ``epoch_us``.
     (LTZ inputs are first cast to NTZ, i.e. read as wall-clock.)"""
-    return F.expr(
-        f"timestampdiff(MICROSECOND, {_EPOCH_NTZ},"
-        f" cast({col} as timestamp_ntz))")
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        c.cast("timestamp_ntz"))
 
 
 def sessionize(events: DataFrame, user_col: str = "user_id",
@@ -80,3 +79,67 @@ def asof_attach(events: DataFrame, match_type: str = "purchase",
     return events.select(
         id_col, user_col, type_col,
         prior.alias(f"last_{match_type}_value"))
+
+
+def _dec_sum(value_col: str) -> Column:
+    """Exact-decimal sum cast back to double — the repo's bit-parity
+    convention for double sums compared against DuckDB."""
+    return (F.sum(F.col(value_col).cast("decimal(18,4)")).cast("double")
+            .alias("total_value"))
+
+
+def session_stats(events: DataFrame, user_col: str = "user_id",
+                  ts_col: str = "ts", value_col: str = "value",
+                  gap_minutes: int = SESSION_GAP_MINUTES) -> DataFrame:
+    """Per-user session aggregates via Spark's NATIVE
+    ``session_window`` (the streaming-capable gap-merge operator, also
+    the batch spelling here).  The engine's merge is end-INCLUSIVE: an
+    event at exactly ``last_event + gap`` (the window end) still
+    EXTENDS the session, so a new session starts only when the gap is
+    strictly ``> gap`` — the same boundary rule as :func:`sessionize`
+    (measured and pinned by
+    tests/test_temporal.py::test_session_stats_boundary; the window
+    struct's end itself remains ``last_event + gap``).
+
+    One hashpartitioning(user, session_window) exchange after a
+    map-side partial merge — no per-user global sort."""
+    sw = F.session_window(ts_col, f"{gap_minutes} minutes")
+    return (events.groupBy(user_col, sw.alias("w"))
+            .agg(F.count("*").alias("n_events"), _dec_sum(value_col))
+            .select(user_col,
+                    epoch_us(F.col("w.start")).alias("session_start_us"),
+                    epoch_us(F.col("w.end")).alias("session_end_us"),
+                    "n_events", "total_value"))
+
+
+def tumbling_rollup(events: DataFrame, ts_col: str = "ts",
+                    key_col: str = "event_type",
+                    value_col: str = "value",
+                    window_minutes: int = 60) -> DataFrame:
+    """Fixed (tumbling) event-time windows per key: Spark's native
+    ``window()`` — epoch-aligned on the NTZ wall clock, so the bucket
+    start is exactly ``floor(epoch_us / width) * width``; pure
+    partial+final hash aggregation, one exchange."""
+    w = F.window(ts_col, f"{window_minutes} minutes")
+    return (events.groupBy(w.alias("w"), key_col)
+            .agg(F.count("*").alias("n_events"), _dec_sum(value_col))
+            .select(epoch_us(F.col("w.start")).alias("window_start_us"),
+                    key_col, "n_events", "total_value"))
+
+
+def hopping_rollup(events: DataFrame, ts_col: str = "ts",
+                   key_col: str = "event_type",
+                   value_col: str = "value",
+                   window_minutes: int = 60,
+                   slide_minutes: int = 30) -> DataFrame:
+    """Hopping (sliding) event-time windows: each event lands in
+    ``window/slide`` overlapping buckets — Spark expands them with an
+    internal explode BEFORE the aggregation, so the shuffle carries
+    the already-combined partials, not window/slide copies of the raw
+    events."""
+    w = F.window(ts_col, f"{window_minutes} minutes",
+                 f"{slide_minutes} minutes")
+    return (events.groupBy(w.alias("w"), key_col)
+            .agg(F.count("*").alias("n_events"), _dec_sum(value_col))
+            .select(epoch_us(F.col("w.start")).alias("window_start_us"),
+                    key_col, "n_events", "total_value"))

@@ -13,7 +13,9 @@ import datetime as dt
 import random
 
 from ollie_spark.spark.temporal import (SESSION_GAP_MINUTES, asof_attach,
-                                        epoch_us, sessionize)
+                                        epoch_us, hopping_rollup,
+                                        session_stats, sessionize,
+                                        tumbling_rollup)
 
 T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
 GAP = dt.timedelta(minutes=SESSION_GAP_MINUTES)
@@ -110,15 +112,69 @@ def test_python_model_on_seeded_corpus(spark):
                 last_purchase = val
 
 
+def test_session_stats_boundary(spark):
+    """Native session_window merges end-INCLUSIVELY: an event at
+    exactly window-end (gap after the last event) EXTENDS the session;
+    one microsecond more starts a new one.  Same `> gap` boundary as
+    sessionize — this test is what measured that (the docs' [start,
+    end) interval reads as if == gap would split; it does not), and it
+    pins the q40 oracle's strict-> spelling."""
+    rows = [
+        (0, 1, T0, "view", 1.0),
+        (1, 1, T0 + GAP, "view", 2.0),             # == gap: merges
+        (2, 1, T0 + GAP + GAP + US, "view", 4.0),  # gap + 1us: new
+    ]
+    df = _events(spark, rows)
+    got = sorted((r.session_start_us, r.session_end_us, r.n_events,
+                  r.total_value)
+                 for r in session_stats(df).collect())
+    t0us = (T0 - dt.datetime(1970, 1, 1)) // US
+    gapus = SESSION_GAP_MINUTES * 60_000_000
+    assert got == [
+        (t0us, t0us + 2 * gapus, 2, 3.0),
+        (t0us + 2 * gapus + 1, t0us + 3 * gapus + 1, 1, 4.0),
+    ]
+    # sessionize agrees: two sessions, split at the same boundary
+    assert [r.session_id for r in
+            sessionize(df).orderBy("event_id").collect()] == [1, 1, 2]
+
+
+def test_rollups_bucket_assignment(spark):
+    """Tumbling: epoch-aligned floor buckets; hopping 1h/30m: every
+    event in exactly two buckets, totals double the tumbling total."""
+    rows = [
+        (0, 1, T0, "view", 1.0),
+        (1, 1, T0 + dt.timedelta(minutes=59, seconds=59), "view", 2.0),
+        (2, 1, T0 + dt.timedelta(hours=1), "buy", 4.0),
+    ]
+    df = _events(spark, rows)
+    t0us = (T0 - dt.datetime(1970, 1, 1)) // US
+    hour = 3_600_000_000
+    tumb = sorted((r.window_start_us, r.event_type, r.n_events)
+                  for r in tumbling_rollup(df).collect())
+    assert tumb == [(t0us, "view", 2), (t0us + hour, "buy", 1)]
+    hop = hopping_rollup(df).collect()
+    assert sum(r.n_events for r in hop) == 2 * len(rows)
+    # the event at :59:59 is in buckets starting 23:30 and 00:00
+    views = {r.window_start_us for r in hop if r.event_type == "view"}
+    assert views == {t0us - hour // 2, t0us, t0us + hour // 2}
+
+
 def test_plan_one_user_exchange_no_singlepartition(spark):
     """Both operators shuffle ONCE on hashpartitioning(user_id) and
     never plan a SinglePartition window — a global ORDER BY ts would;
     the stacked sessionize windows must share one exchange+sort."""
     df = _events(spark, [(0, 1, T0, "view", 1.0)])
-    for frame in (sessionize(df), asof_attach(df)):
+    for frame in (sessionize(df), asof_attach(df), session_stats(df),
+                  tumbling_rollup(df), hopping_rollup(df)):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "SinglePartition" not in plan
         assert plan.count("Exchange hashpartitioning") == 1, plan
+    # the windowed rollups must combine map-side (partial agg before
+    # the exchange), so a hot window key never floods one reducer raw
+    for frame in (tumbling_rollup(df), hopping_rollup(df)):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("HashAggregate") >= 2, plan
 
 
 def test_epoch_us_is_session_tz_independent(spark):
