@@ -155,3 +155,30 @@ def curation_filter_stream(docs_stream: DataFrame,
 
     keep_lang, keep_quality, keep_rep = _curation_predicates(text_col)
     return docs_stream.where(keep_lang & keep_quality & keep_rep)
+
+
+def session_stats_stream(events_stream: DataFrame,
+                         user_col: str = "user_id",
+                         ts_col: str = "ts",
+                         value_col: str = "value",
+                         gap_minutes: int | None = None,
+                         watermark: str = "10 minutes") -> DataFrame:
+    """Streaming sessionization: the SAME native ``session_window``
+    aggregation as the batch ``temporal.session_stats`` (same gap,
+    same merge rule — cross-batch equality is tested, so the two
+    spellings cannot drift), with a watermark so per-user open-session
+    state is BOUNDED: a session's state is emitted exactly once and
+    evicted when the watermark passes its end (append mode), and
+    events later than the watermark are dropped instead of reopening
+    it.  Sessions spanning micro-batches merge in the state store —
+    the property a per-batch foreachBatch sessionizer cannot give."""
+    from .temporal import SESSION_GAP_MINUTES, _dec_sum, epoch_us
+    gap = SESSION_GAP_MINUTES if gap_minutes is None else gap_minutes
+    sw = F.session_window(ts_col, f"{gap} minutes")
+    return (events_stream.withWatermark(ts_col, watermark)
+            .groupBy(F.col(user_col), sw.alias("w"))
+            .agg(F.count("*").alias("n_events"), _dec_sum(value_col))
+            .select(user_col,
+                    epoch_us(F.col("w.start")).alias("session_start_us"),
+                    epoch_us(F.col("w.end")).alias("session_end_us"),
+                    "n_events", "total_value"))

@@ -250,3 +250,47 @@ def test_curation_filter_stream_matches_batch_predicates(spark,
     batch = spark.createDataFrame(b1 + b2, schema).where(kl & kq & kr)
     assert got == sorted(r.doc_id for r in batch.collect())
     assert got == [4, 6]
+
+
+def test_session_stats_stream_merges_across_batches(spark, tmp_path):
+    """A session spanning two micro-batches must merge in the state
+    store and emit ONCE (append mode) when the watermark passes its
+    end — equal to the batch temporal.session_stats on the same rows;
+    an event older than the watermark must be dropped, not reopen it."""
+    from ollie_spark.spark.streaming import session_stats_stream
+    from ollie_spark.spark.temporal import session_stats
+
+    in_dir = str(tmp_path / "events_in")
+    schema = "event_id long, user_id long, tss string, value double"
+    b1 = [(0, 1, "2024-01-01 00:00:00", 1.0),
+          (1, 1, "2024-01-01 00:20:00", 2.0)]
+    b2 = [(2, 1, "2024-01-01 00:40:00", 4.0)]     # extends b1's session
+    b3 = [(3, 2, "2024-01-01 12:00:00", 8.0)]     # watermark advancer
+    b4 = [(4, 1, "2024-01-01 00:50:00", 16.0)]    # too late: dropped
+
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(in_dir)
+    stream = (spark.readStream.schema(schema).parquet(in_dir)
+              .withColumn("ts", F.to_timestamp("tss")))
+    q = (session_stats_stream(stream)
+         .writeStream.format("memory").queryName("sessions")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        for b in (b2, b3, b4):
+            spark.createDataFrame(b, schema).write.mode("append") \
+                .parquet(in_dir)
+            q.processAllAvailable()
+        got = [(r.user_id, r.session_start_us, r.session_end_us,
+                r.n_events, r.total_value)
+               for r in spark.sql("select * from sessions").collect()]
+    finally:
+        q.stop()
+
+    # exactly the closed u1 session: b1+b2 merged, late b4 NOT in it
+    batch = (spark.createDataFrame(b1 + b2, schema)
+             .withColumn("ts", F.to_timestamp("tss")))
+    want = [(r.user_id, r.session_start_us, r.session_end_us,
+             r.n_events, r.total_value)
+            for r in session_stats(batch).collect()]
+    assert got == want
+    assert got[0][3] == 3 and got[0][4] == 7.0
