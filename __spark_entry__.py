@@ -182,7 +182,10 @@ _SESSION_GAP_US = _SESSION_GAP_MIN * 60_000_000
 _HOUR_US = 3_600_000_000          # q41 tumbling width
 _HALF_HOUR_US = 1_800_000_000     # q42 hopping slide (window = 2*slide)
 
-from ollie_spark.spark.textops import (DEFAULT_MAX_BAND_BUCKET as _MAX_BAND,  # noqa: E402
+from ollie_spark.spark.textops import (BM25_B as _BM25_B,  # noqa: E402
+                                       BM25_K1 as _BM25_K1,
+                                       BM25_TOP_K as _BM25_TOP_K,
+                                       DEFAULT_MAX_BAND_BUCKET as _MAX_BAND,
                                        DEFAULT_MAX_JACCARD_BLOCK as _MAX_BLOCK,
                                        MINHASH_SEEDS as _MINHASH_SEEDS,
                                        cosine as _lib_cosine,
@@ -532,6 +535,19 @@ def q39_json_props(spark, sf_dir):
             .orderBy("event_type"))
 
 
+_BM25_QUERY = ("dup", "query", "join")  # rare + common discriminators
+
+
+def q43_bm25_search(spark, sf_dir):
+    """BM25 ranked retrieval (ollie_spark.spark.textops.bm25_search):
+    top-20 documents for a fixed query over the corpus — Okapi BM25
+    with the non-negative Lucene idf; token explode filtered to the
+    query terms BEFORE the tf shuffle, df + (N, avgdl) broadcast,
+    TakeOrdered on the rounded score with a doc_id tie-break."""
+    from ollie_spark.spark.textops import bm25_search
+    return bm25_search(_t(spark, sf_dir, "documents"), _BM25_QUERY)
+
+
 def q40_session_stats(spark, sf_dir):
     """Per-user session aggregates via Spark's NATIVE session_window
     (the streaming-capable gap-merge operator).  The merge is
@@ -691,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_session_stats": q40_session_stats,
         "q41_tumbling_rollup": q41_tumbling_rollup,
         "q42_hopping_rollup": q42_hopping_rollup,
+        "q43_bm25_search": q43_bm25_search,
         "kg_extract_mentions": kg_extract_mentions,
         "kg_graph_edges": kg_graph_edges,
         "kg_media_features": kg_media_features,
@@ -1455,4 +1472,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
                        AS total_value
             FROM x GROUP BY ws, event_type ORDER BY ws, event_type""",
+        # Okapi BM25 with the Lucene idf, recomputed end-to-end
+        # (k1/b/k and the query interpolated from the shared Python
+        # constants); ordered by the ROUNDED score + doc_id so the
+        # top-k cutoff cannot flip on sub-1e-6 float noise
+        "q43_bm25_search": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS term,
+                       len(string_split(text, ' ')) AS n_toks
+                FROM documents),
+            tf AS (SELECT doc_id, term, n_toks, COUNT(*) AS c
+                   FROM toks WHERE term IN {_BM25_QUERY!r}
+                   GROUP BY doc_id, term, n_toks),
+            dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+                      FROM toks WHERE term IN {_BM25_QUERY!r}
+                      GROUP BY term),
+            stats AS (SELECT COUNT(*) AS nn,
+                             AVG(len(string_split(text, ' '))) AS avgdl
+                      FROM documents),
+            scored AS (
+                SELECT doc_id,
+                       ln((nn - df + 0.5) / (df + 0.5) + 1.0)
+                         * c * ({_BM25_K1} + 1.0)
+                         / (c + {_BM25_K1} * (1.0 - {_BM25_B}
+                                + {_BM25_B} * n_toks / avgdl)) AS s
+                FROM tf JOIN dfreq USING (term) CROSS JOIN stats)
+            SELECT doc_id, ROUND(SUM(s), 6) AS bm25,
+                   COUNT(*) AS n_terms_matched
+            FROM scored GROUP BY doc_id
+            ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOP_K}""",
     }

@@ -877,6 +877,56 @@ def tfidf_keywords(docs: DataFrame, id_col: str = "doc_id",
             .where(F.col("kw_rank") <= k))
 
 
+BM25_K1 = 1.2      # term-frequency saturation (the standard default)
+BM25_B = 0.75      # length-normalization strength (standard default)
+BM25_TOP_K = 20
+
+
+def bm25_search(docs: DataFrame, query_terms: tuple,
+                id_col: str = "doc_id", text_col: str = "text",
+                k1: float = BM25_K1, b: float = BM25_B,
+                k: int = BM25_TOP_K) -> DataFrame:
+    """BM25 ranked retrieval over the corpus for a fixed term set —
+    the inspect/decontaminate companion to ``tfidf_keywords`` (find
+    the documents most about a benchmark's vocabulary).  Okapi BM25
+    with the Lucene idf: ln((N - df + .5)/(df + .5) + 1), so idf is
+    never negative.
+
+    Shape at scale: the token explode filters to the QUERY TERMS
+    immediately, so the tf shuffle carries only matching rows (a few
+    per doc), never the corpus vocabulary; df and the 1-row (N, avgdl)
+    stats broadcast back onto the tf side; top-k is TakeOrdered on
+    the ROUNDED score with an id tie-break (the q29 convention — an
+    unrounded order could let sub-1e-6 engine noise reshuffle the
+    cutoff), never a global sort."""
+    terms = list(query_terms)
+    words = F.split(F.col(text_col), " ")
+    tf = (docs.select(F.col(id_col), F.size(words).alias("n_toks"),
+                      F.explode(words).alias("term"))
+          .where(F.col("term").isin(terms))
+          .groupBy(id_col, "term", "n_toks")
+          .agg(F.count("*").alias("c")))
+    dfreq = (docs.select(F.explode(F.array_distinct(words))
+                         .alias("term"))
+             .where(F.col("term").isin(terms))
+             .groupBy("term").agg(F.count("*").alias("df")))
+    stats = docs.agg(F.count("*").alias("_n"),
+                     F.avg(F.size(words)).alias("_avgdl"))
+    idf = F.log((F.col("_n") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    norm = (F.col("c") + k1 * (1.0 - b
+                               + b * F.col("n_toks") / F.col("_avgdl")))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .crossJoin(F.broadcast(stats))
+              .select(F.col(id_col),
+                      (idf * F.col("c") * (k1 + 1.0) / norm).alias("s")))
+    return (scored.groupBy(id_col)
+            .agg(F.round(F.sum("s"), 6).alias("bm25"),
+                 F.count("*").alias("n_terms_matched"))
+            .orderBy(F.desc("bm25"), F.asc(id_col))
+            .limit(k))
+
+
 CURATION_STAGES = ("ingest", "lang_id", "quality", "repetition",
                    "exact_dedup", "neardup", "decontaminate", "sample")
 

@@ -955,3 +955,59 @@ def test_curation_to_training_pipeline_end_to_end(spark):
         assert r.cum_tokens == cum
         assert r.shard_id == (r.cum_tokens - r.n_tokens) \
             // SHARD_TOKEN_BUDGET
+
+
+def test_bm25_hand_computed(spark):
+    """BM25 against an independent driver-side model on a 4-doc corpus
+    covering: multi-term match, single rare-term match, repeated term
+    (tf saturation), long doc (length normalization), and no match."""
+    import math
+
+    from ollie_spark.spark.textops import BM25_B, BM25_K1, bm25_search
+
+    texts = {
+        10: "apple banana apple cherry",
+        11: "banana banana banana banana banana banana banana banana",
+        12: "cherry date elderberry fig grape",
+        13: "date fig grape",                      # no query term
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string")
+    query = ("apple", "banana", "cherry")
+    got = {r.doc_id: (r.bm25, r.n_terms_matched)
+           for r in bm25_search(docs, query).collect()}
+
+    toks = {i: t.split(" ") for i, t in texts.items()}
+    n = len(texts)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    want = {}
+    for i, w in toks.items():
+        s, m = 0.0, 0
+        for t in query:
+            c = w.count(t)
+            if not c:
+                continue
+            df = sum(1 for ww in toks.values() if t in ww)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            s += idf * c * (BM25_K1 + 1.0) / (
+                c + BM25_K1 * (1.0 - BM25_B + BM25_B * len(w) / avgdl))
+            m += 1
+        if m:
+            want[i] = (round(s, 6), m)
+    assert got == want
+    assert 13 not in got
+    # tf saturation: 8x banana scores less than 8x a 1-occurrence hit
+    one_hit = want[12][0]  # cherry once in an average-length doc
+    assert want[11][0] < 8 * one_hit
+
+
+def test_bm25_plan_is_broadcast_and_takeordered(spark):
+    """df and corpus stats broadcast onto the filtered tf side (no
+    sort-merge join) and the top-k is TakeOrdered, not a global sort."""
+    from ollie_spark.spark.textops import bm25_search
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (bm25_search(docs, ("dup", "query"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
