@@ -163,22 +163,20 @@ def session_stats_stream(events_stream: DataFrame,
                          value_col: str = "value",
                          gap_minutes: int | None = None,
                          watermark: str = "10 minutes") -> DataFrame:
-    """Streaming sessionization: the SAME native ``session_window``
-    aggregation as the batch ``temporal.session_stats`` (same gap,
-    same merge rule — cross-batch equality is tested, so the two
-    spellings cannot drift), with a watermark so per-user open-session
-    state is BOUNDED: a session's state is emitted exactly once and
-    evicted when the watermark passes its end (append mode), and
-    events later than the watermark are dropped instead of reopening
-    it.  Sessions spanning micro-batches merge in the state store —
-    the property a per-batch foreachBatch sessionizer cannot give."""
-    from .temporal import SESSION_GAP_MINUTES, _dec_sum, epoch_us
-    gap = SESSION_GAP_MINUTES if gap_minutes is None else gap_minutes
-    sw = F.session_window(ts_col, f"{gap} minutes")
-    return (events_stream.withWatermark(ts_col, watermark)
-            .groupBy(F.col(user_col), sw.alias("w"))
-            .agg(F.count("*").alias("n_events"), _dec_sum(value_col))
-            .select(user_col,
-                    epoch_us(F.col("w.start")).alias("session_start_us"),
-                    epoch_us(F.col("w.end")).alias("session_end_us"),
-                    "n_events", "total_value"))
+    """Streaming sessionization with a watermark, so per-user
+    open-session state is BOUNDED: a session's state is emitted
+    exactly once and evicted when the watermark passes its end
+    (append mode), and events later than the watermark are dropped
+    instead of reopening it.  Sessions spanning micro-batches merge
+    in the state store — the property a per-batch foreachBatch
+    sessionizer cannot give.
+
+    DELEGATES to ``temporal.session_stats`` (a pure DataFrame
+    transform, equally valid on a stream) after attaching the
+    watermark — batch q40 and the stream are ONE spelling, not two
+    copies held together by a test."""
+    from .temporal import session_stats
+    return session_stats(
+        events_stream.withWatermark(ts_col, watermark),
+        user_col=user_col, ts_col=ts_col, value_col=value_col,
+        **({} if gap_minutes is None else {"gap_minutes": gap_minutes}))

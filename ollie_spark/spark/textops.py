@@ -892,26 +892,33 @@ def bm25_search(docs: DataFrame, query_terms: tuple,
     with the Lucene idf: ln((N - df + .5)/(df + .5) + 1), so idf is
     never negative.
 
-    Shape at scale: the token explode filters to the QUERY TERMS
-    immediately, so the tf shuffle carries only matching rows (a few
-    per doc), never the corpus vocabulary; df and the 1-row (N, avgdl)
+    Shape at scale: the corpus is TOKENIZED ONCE — the token explode
+    filters to the QUERY TERMS immediately, so the tf shuffle carries
+    only matching rows (a few per doc), never the corpus vocabulary;
+    the per-(doc, term) tf frame is materialized once and df is ONE
+    row-count per term over it (tf holds exactly one row per matching
+    doc-term pair), not a second corpus tokenization; the 1-row
+    (N, avgdl) stats scan is the only other corpus pass.  df and
     stats broadcast back onto the tf side; top-k is TakeOrdered on
     the ROUNDED score with an id tie-break (the q29 convention — an
     unrounded order could let sub-1e-6 engine noise reshuffle the
     cutoff), never a global sort."""
     terms = list(query_terms)
-    words = F.split(F.col(text_col), " ")
-    tf = (docs.select(F.col(id_col), F.size(words).alias("n_toks"),
-                      F.explode(words).alias("term"))
-          .where(F.col("term").isin(terms))
-          .groupBy(id_col, "term", "n_toks")
-          .agg(F.count("*").alias("c")))
-    dfreq = (docs.select(F.explode(F.array_distinct(words))
-                         .alias("term"))
-             .where(F.col("term").isin(terms))
-             .groupBy("term").agg(F.count("*").alias("df")))
-    stats = docs.agg(F.count("*").alias("_n"),
-                     F.avg(F.size(words)).alias("_avgdl"))
+    # let-bind the split: size() and explode() both reference the
+    # alias, so the split runs once per row (CollapseProject keeps
+    # multi-referenced non-cheap aliases materialized)
+    words_of = docs.select(F.col(id_col),
+                           F.split(F.col(text_col), " ").alias("_w"))
+    tf = materialize_once(
+        words_of.select(F.col(id_col), F.size("_w").alias("n_toks"),
+                        F.explode("_w").alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy(id_col, "term", "n_toks")
+        .agg(F.count("*").alias("c")))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = docs.agg(
+        F.count("*").alias("_n"),
+        F.avg(F.size(F.split(F.col(text_col), " "))).alias("_avgdl"))
     idf = F.log((F.col("_n") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5) + 1.0)
     norm = (F.col("c") + k1 * (1.0 - b

@@ -1011,3 +1011,8 @@ def test_bm25_plan_is_broadcast_and_takeordered(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "TakeOrderedAndProject" in plan
+    # corpus tokenized once into the materialized tf frame: both the
+    # scored side and the df rollup read that checkpoint (ExistingRDD),
+    # and the only split() left in the final plan is the stats scan's
+    assert plan.count("Scan ExistingRDD") == 2, plan
+    assert "Generate explode" not in plan, plan
