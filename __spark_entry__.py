@@ -535,6 +535,49 @@ def q39_json_props(spark, sf_dir):
             .orderBy("event_type"))
 
 
+def q44_value_percentiles(spark, sf_dir):
+    """Exact value percentiles per event type (F.percentile — the
+    interpolating definition, bit-identical to DuckDB quantile_cont).
+    Exact percentile buffers each group's values in the aggregation
+    state, which is fine for bounded-cardinality group keys like
+    event_type (the state is per-GROUP, values stream through
+    partial buffers); for high-cardinality keys at 100 TB the scale
+    path is approx_percentile (bounded-memory sketch), which is
+    deliberately NOT used here because its approximation is
+    engine-specific and could not be oracle-checked."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.percentile("value", 0.5), 6).alias("p50"),
+                 F.round(F.percentile("value", 0.9), 6).alias("p90"),
+                 F.round(F.percentile("value", 0.99), 6).alias("p99"))
+            .orderBy("event_type"))
+
+
+def q45_cohort_retention(spark, sf_dir):
+    """Daily-cohort retention: users grouped by first-active date;
+    day-1 / day-7 retention as the share active exactly at that
+    offset.  The (user, day) activity frame is deduplicated FIRST, so
+    each user contributes at most one row per day and the cohort size
+    is sum(offset == 0) — one plain conditional-sum aggregation, no
+    countDistinct (which would double-shuffle via expand) and no
+    window.  Dates derive from the NTZ wall clock (to_date), so the
+    cohort boundary is engine- and timezone-independent."""
+    ev = _t(spark, sf_dir, "events")
+    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    first = act.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    off = F.datediff(F.col("d"), F.col("cohort_date"))
+    hit = lambda k: F.sum((off == k).cast("long"))  # noqa: E731
+    return (act.join(first, "user_id")
+            .groupBy("cohort_date")
+            .agg(hit(0).alias("n_users"),
+                 hit(1).alias("n_d1"),
+                 hit(7).alias("n_d7"),
+                 F.round(hit(1) / hit(0), 6).alias("ret_d1"),
+                 F.round(hit(7) / hit(0), 6).alias("ret_d7"))
+            .orderBy("cohort_date"))
+
+
 _BM25_QUERY = ("dup", "query", "join")  # rare + common discriminators
 
 
@@ -708,6 +751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_tumbling_rollup": q41_tumbling_rollup,
         "q42_hopping_rollup": q42_hopping_rollup,
         "q43_bm25_search": q43_bm25_search,
+        "q44_value_percentiles": q44_value_percentiles,
+        "q45_cohort_retention": q45_cohort_retention,
         "kg_extract_mentions": kg_extract_mentions,
         "kg_graph_edges": kg_graph_edges,
         "kg_media_features": kg_media_features,
@@ -1502,4 +1547,37 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_terms_matched
             FROM scored GROUP BY doc_id
             ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOP_K}""",
+        # quantile_cont is DuckDB's independent implementation of the
+        # same interpolating exact-percentile definition F.percentile
+        # uses — bit-identical, probed before rounding was added
+        "q44_value_percentiles": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   ROUND(quantile_cont(value, 0.5), 6) AS p50,
+                   ROUND(quantile_cont(value, 0.9), 6) AS p90,
+                   ROUND(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type ORDER BY event_type""",
+        # per-user-per-day activity deduped first, so cohort size is
+        # SUM(offset = 0) — mirrors the Spark no-countDistinct shape
+        "q45_cohort_retention": """
+            WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                       FROM events),
+            f AS (SELECT user_id, MIN(d) AS cohort_date FROM a
+                  GROUP BY user_id),
+            j AS (SELECT a.user_id, date_diff('day', f.cohort_date,
+                                              a.d) AS o, f.cohort_date
+                  FROM a JOIN f USING (user_id))
+            SELECT cohort_date,
+                   CAST(SUM(CASE WHEN o = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_users,
+                   CAST(SUM(CASE WHEN o = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_d1,
+                   CAST(SUM(CASE WHEN o = 7 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_d7,
+                   ROUND(1.0 * SUM(CASE WHEN o = 1 THEN 1 ELSE 0 END)
+                         / SUM(CASE WHEN o = 0 THEN 1 ELSE 0 END), 6)
+                       AS ret_d1,
+                   ROUND(1.0 * SUM(CASE WHEN o = 7 THEN 1 ELSE 0 END)
+                         / SUM(CASE WHEN o = 0 THEN 1 ELSE 0 END), 6)
+                       AS ret_d7
+            FROM j GROUP BY cohort_date ORDER BY cohort_date""",
     }

@@ -334,3 +334,36 @@ def test_kg_mentions_scoring_matches_duckdb_recompute(spark, tmp_path):
         .select("doc_id", "span_idx", "arg1_text", "rel_text",
                 "arg2_text").collect())
     assert surv_pipe == surv_duck
+
+
+def test_q45_cohort_retention_hand_case(spark, tmp_path):
+    """Drive the ACTUAL entry query on a crafted events table where
+    the generated corpus can't falsify the offset logic (its users
+    are all active daily): cohorts of different sizes, a user active
+    at day 1 but not 7, one at 7 but not 1, one at neither, and a
+    same-day duplicate that must not inflate the cohort."""
+    import datetime as dt
+
+    import __spark_entry__ as em
+
+    def e(i, u, day, hour=0):
+        return (i, dt.datetime(2024, 3, 1 + day, hour), u, "view",
+                1.0, "{}")
+    rows = [
+        e(0, 1, 0), e(1, 1, 0, 5),   # u1: dup day-0 row, d1 only
+        e(2, 1, 1),
+        e(3, 2, 0), e(4, 2, 7),      # u2: d7 only
+        e(5, 3, 0),                  # u3: neither
+        e(6, 4, 2), e(7, 4, 3),      # u4: later cohort, d1
+    ]
+    (spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+     .write.parquet(str(tmp_path / "events.parquet")))
+    got = [(str(r.cohort_date), r.n_users, r.n_d1, r.n_d7,
+            r.ret_d1, r.ret_d7)
+           for r in em.queries()["q45_cohort_retention"](
+               spark, str(tmp_path)).collect()]
+    assert got == [("2024-03-01", 3, 1, 1, round(1 / 3, 6),
+                    round(1 / 3, 6)),
+                   ("2024-03-03", 1, 1, 0, 1.0, 0.0)]
