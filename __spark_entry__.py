@@ -578,6 +578,39 @@ def q45_cohort_retention(spark, sf_dir):
             .orderBy("cohort_date"))
 
 
+_FUNNEL_STEPS = ("signup", "view", "purchase")
+
+
+def q46_conversion_funnel(spark, sf_dir):
+    """Ordered conversion funnel (signup -> view -> purchase, each
+    step STRICTLY after the previous step's first completion): per
+    step, the earliest qualifying time is a map-side-combining
+    conditional MIN per user, and each later step joins the previous
+    step's tiny (user, t) frame back onto the filtered event stream —
+    never a per-user collect_list (a whale user's full history in one
+    row) and never a window over the raw events.  Times compare in
+    integer micros (epoch_us both engines)."""
+    from ollie_spark.spark.temporal import epoch_us
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_us("ts").alias("us"))
+    s1, s2, s3 = _FUNNEL_STEPS
+    t1 = (ev.where(F.col("event_type") == s1)
+          .groupBy("user_id").agg(F.min("us").alias("t1")))
+    t2 = (ev.where(F.col("event_type") == s2).join(t1, "user_id")
+          .where(F.col("us") > F.col("t1"))
+          .groupBy("user_id").agg(F.min("us").alias("t2")))
+    t3 = (ev.where(F.col("event_type") == s3).join(t2, "user_id")
+          .where(F.col("us") > F.col("t2"))
+          .groupBy("user_id").agg(F.min("us").alias("t3")))
+    counts = (t1.agg(F.count("*").alias("n_step1"))
+              .crossJoin(t2.agg(F.count("*").alias("n_step2")))
+              .crossJoin(t3.agg(F.count("*").alias("n_step3"))))
+    return counts.select(
+        "n_step1", "n_step2", "n_step3",
+        F.round(F.col("n_step2") / F.col("n_step1"), 6).alias("rate12"),
+        F.round(F.col("n_step3") / F.col("n_step1"), 6).alias("rate13"))
+
+
 _BM25_QUERY = ("dup", "query", "join")  # rare + common discriminators
 
 
@@ -753,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_bm25_search": q43_bm25_search,
         "q44_value_percentiles": q44_value_percentiles,
         "q45_cohort_retention": q45_cohort_retention,
+        "q46_conversion_funnel": q46_conversion_funnel,
         "kg_extract_mentions": kg_extract_mentions,
         "kg_graph_edges": kg_graph_edges,
         "kg_media_features": kg_media_features,
@@ -1580,4 +1614,27 @@ def oracle_sql() -> dict[str, str]:
                          / SUM(CASE WHEN o = 0 THEN 1 ELSE 0 END), 6)
                        AS ret_d7
             FROM j GROUP BY cohort_date ORDER BY cohort_date""",
+        # the same strictly-after conditional-min cascade, step names
+        # interpolated from the shared tuple
+        "q46_conversion_funnel": f"""
+            WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                       FROM events),
+            s1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+                   WHERE event_type = '{_FUNNEL_STEPS[0]}'
+                   GROUP BY user_id),
+            s2 AS (SELECT e.user_id, MIN(us) AS t2
+                   FROM e JOIN s1 USING (user_id)
+                   WHERE event_type = '{_FUNNEL_STEPS[1]}' AND us > t1
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, MIN(us) AS t3
+                   FROM e JOIN s2 USING (user_id)
+                   WHERE event_type = '{_FUNNEL_STEPS[2]}' AND us > t2
+                   GROUP BY e.user_id)
+            SELECT (SELECT COUNT(*) FROM s1) AS n_step1,
+                   (SELECT COUNT(*) FROM s2) AS n_step2,
+                   (SELECT COUNT(*) FROM s3) AS n_step3,
+                   ROUND(1.0 * (SELECT COUNT(*) FROM s2)
+                         / (SELECT COUNT(*) FROM s1), 6) AS rate12,
+                   ROUND(1.0 * (SELECT COUNT(*) FROM s3)
+                         / (SELECT COUNT(*) FROM s1), 6) AS rate13""",
     }

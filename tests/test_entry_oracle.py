@@ -367,3 +367,38 @@ def test_q45_cohort_retention_hand_case(spark, tmp_path):
     assert got == [("2024-03-01", 3, 1, 1, round(1 / 3, 6),
                     round(1 / 3, 6)),
                    ("2024-03-03", 1, 1, 0, 1.0, 0.0)]
+
+
+def test_q46_funnel_strictly_after_hand_case(spark, tmp_path):
+    """Out-of-order steps must not convert: a view BEFORE the signup
+    doesn't open step 2, a purchase BEFORE the qualifying view doesn't
+    close step 3, and ties (same microsecond) don't count (strict >)."""
+    import datetime as dt
+
+    import __spark_entry__ as em
+
+    T = dt.datetime(2024, 3, 1)
+    m = dt.timedelta(minutes=1)
+
+    def e(i, u, typ, mins):
+        return (i, T + mins * m, u, typ, 1.0, "{}")
+    rows = [
+        # u1 converts fully in order
+        e(0, 1, "signup", 0), e(1, 1, "view", 1), e(2, 1, "purchase", 2),
+        # u2: view precedes signup, later purchase irrelevant -> step1 only
+        e(3, 2, "view", 0), e(4, 2, "signup", 1), e(5, 2, "purchase", 2),
+        # u3: purchase precedes the view -> step2 only
+        e(6, 3, "signup", 0), e(7, 3, "purchase", 1), e(8, 3, "view", 2),
+        # u4: view at the SAME micro as signup (tie, strict >) -> step1
+        e(9, 4, "signup", 0), e(10, 4, "view", 0),
+        # u5: never signed up -> not in the funnel at all
+        e(11, 5, "view", 0), e(12, 5, "purchase", 1),
+    ]
+    (spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+     .write.parquet(str(tmp_path / "events.parquet")))
+    r = em.queries()["q46_conversion_funnel"](
+        spark, str(tmp_path)).collect()[0]
+    assert (r.n_step1, r.n_step2, r.n_step3) == (4, 2, 1)
+    assert (r.rate12, r.rate13) == (0.5, 0.25)
