@@ -678,6 +678,23 @@ def kg_graph_edges(spark, sf_dir):
     return edges.select("src_node", "rel", "dst_node", "weight")
 
 
+def kg_pagerank(spark, sf_dir):
+    """Weighted PageRank over the constructed KG
+    (ollie_spark.spark.graph_analytics.pagerank): entity importance
+    for ranking query results / canonical-label choice.  Iterative
+    power iteration with per-round checkpointing (plan cannot grow
+    with rounds), dangling mass folded back uniformly.  No SQL oracle
+    (iterative float fixpoint); correctness is pinned by the
+    independent Python power-iteration model in
+    tests/test_graph_analytics.py on a crafted graph with dangling /
+    parallel / weighted edges."""
+    from ollie_spark.spark.graph_analytics import pagerank
+    edges = kg_graph_edges(spark, sf_dir)
+    return (pagerank(edges)
+            .select("node", F.round("rank", 6).alias("rank"))
+            .orderBy(F.desc("rank"), "node"))
+
+
 def kg_media_features(spark, sf_dir):
     """Multimodal plumbing: media spans -> decode (deterministic stub)
     -> typed metadata + embeddings -> ANN cells."""
@@ -789,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_conversion_funnel": q46_conversion_funnel,
         "kg_extract_mentions": kg_extract_mentions,
         "kg_graph_edges": kg_graph_edges,
+        "kg_pagerank": kg_pagerank,
         "kg_media_features": kg_media_features,
         "kg_nary": kg_nary,
         "kg_serialized_roundtrip": kg_serialized_roundtrip,

@@ -1,0 +1,96 @@
+"""Graph analytics over the constructed KG: weighted PageRank (the
+entity-importance score a KG consumer ranks query results and picks
+canonical labels with) and degree statistics.
+
+Spark-first iterative shape, same discipline as the linking module's
+connected components (linking.py): ranks are a narrow one-row-per-
+vertex frame; every power-iteration round is two shuffles (join ranks
+onto edges by src, aggregate contributions by dst) over the EDGE
+frame, whose lineage is truncated once up front; the per-round rank
+frame is localCheckpoint-ed so the plan cannot grow with rounds (the
+iterative-lineage rule from linking.connected_components — on a real
+cluster spell it ``.checkpoint()``).  Dangling mass (vertices with no
+out-edges) is folded back uniformly each round, so total rank mass
+stays 1 and disconnected sinks do not leak score.
+
+At cluster scale the per-round shuffles are the cost: bucket the edge
+table by src (and pre-aggregate parallel edges) once, and every
+round's src-side join is co-located; the dst aggregation is a
+map-side-combining sum.  A tolerance-based stop would reuse the
+one-agg convergence probe pattern (linking._frame_sig); a FIXED
+iteration count is used instead so results are deterministic for the
+driver contract and the tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .materialize import materialize_once
+
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERATIONS = 10
+
+
+def pagerank(edges: DataFrame, src_col: str = "src_node",
+             dst_col: str = "dst_node", weight_col: str | None = "weight",
+             damping: float = PAGERANK_DAMPING,
+             iterations: int = PAGERANK_ITERATIONS) -> DataFrame:
+    """Weighted PageRank by ``iterations`` rounds of power iteration;
+    returns (node, rank) with ranks summing to 1.  Parallel edges are
+    pre-aggregated; ``weight_col=None`` means unweighted (every edge
+    weight 1).  Contributions split per-source proportionally to edge
+    weight: contrib(s->d) = rank(s) * w(s,d) / W(s)."""
+    w = (F.col(weight_col).cast("double") if weight_col
+         else F.lit(1.0))
+    e = materialize_once(
+        edges.select(F.col(src_col).alias("_s"),
+                     F.col(dst_col).alias("_d"), w.alias("_w"))
+        .groupBy("_s", "_d").agg(F.sum("_w").alias("_w")))
+    out_w = e.groupBy("_s").agg(F.sum("_w").alias("_ow"))
+    # normalized edge transition fraction, computed once
+    trans = materialize_once(
+        e.join(out_w, "_s").select(
+            "_s", "_d", (F.col("_w") / F.col("_ow")).alias("_frac")))
+    verts = materialize_once(
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node"))).distinct())
+    n = verts.count()
+    has_out = out_w.select(F.col("_s").alias("node"),
+                           F.lit(True).alias("_has_out"))
+
+    ranks = materialize_once(
+        verts.select("node", F.lit(1.0 / n).alias("rank")))
+    for _ in range(iterations):
+        annotated = ranks.join(has_out, "node", "left")
+        dangling = (annotated.where(F.col("_has_out").isNull())
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                    .collect()[0][0])  # one scalar per round, tiny agg
+        contribs = (annotated.join(
+            trans, annotated["node"] == trans["_s"])
+            .groupBy(F.col("_d").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("_frac")).alias("_c")))
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = materialize_once(
+            verts.join(contribs, "node", "left")
+            .select("node",
+                    (F.lit(base)
+                     + F.lit(damping) * F.coalesce(F.col("_c"),
+                                                   F.lit(0.0)))
+                    .alias("rank")))
+    return ranks
+
+
+def degree_stats(edges: DataFrame, src_col: str = "src_node",
+                 dst_col: str = "dst_node") -> DataFrame:
+    """Per-node in/out degree (parallel edges counted) — one pass per
+    direction, map-side-combining counts, full outer merge."""
+    outd = (edges.groupBy(F.col(src_col).alias("node"))
+            .agg(F.count("*").alias("out_degree")))
+    ind = (edges.groupBy(F.col(dst_col).alias("node"))
+           .agg(F.count("*").alias("in_degree")))
+    return (outd.join(ind, "node", "full")
+            .select("node",
+                    F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+                    F.coalesce("in_degree", F.lit(0)).alias("in_degree")))

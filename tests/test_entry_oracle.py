@@ -93,6 +93,14 @@ def test_kg_queries_run(spark):
         assert df.count() > 0, name
 
 
+def test_kg_pagerank_is_a_distribution_over_the_kg(spark):
+    rows = QUERIES["kg_pagerank"](spark, SF_DIR).collect()
+    assert len(rows) > 100            # the 366-entity node set
+    total = sum(r.rank for r in rows)
+    assert abs(total - 1.0) < 1e-3    # ranks rounded to 6, sum to 1
+    assert rows[0].rank >= rows[-1].rank  # ordered by importance
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0

@@ -1,0 +1,89 @@
+"""PageRank / degree stats vs an independent driver-side model on a
+crafted graph exercising: weighted contribution split, parallel-edge
+pre-aggregation, a dangling sink (mass redistribution), and an
+isolated-but-referenced vertex.  Plan/lineage discipline: the rank
+frame is checkpointed per round, so the final plan must not grow with
+the iteration count (the iterative-lineage rule from linking CC)."""
+
+import pytest
+
+from ollie_spark.spark.graph_analytics import (PAGERANK_DAMPING,
+                                               degree_stats, pagerank)
+
+# (src, dst, weight); b->a appears twice (parallel edges must merge);
+# d is a dangling sink; c receives from two sources
+EDGES = [
+    ("a", "b", 1.0),
+    ("b", "c", 2.0),
+    ("b", "a", 0.5),
+    ("b", "a", 0.5),      # parallel edge: b->a total weight 1.0
+    ("a", "c", 3.0),
+    ("c", "d", 1.0),      # d has no out-edges: dangling
+]
+
+
+def _model(iters, d=PAGERANK_DAMPING):
+    """Independent dict-based power iteration (same float spelling)."""
+    w = {}
+    for s, t, wt in EDGES:
+        w[(s, t)] = w.get((s, t), 0.0) + wt
+    out = {}
+    for (s, _t), wt in w.items():
+        out[s] = out.get(s, 0.0) + wt
+    verts = sorted({v for e in w for v in e})
+    n = len(verts)
+    r = {v: 1.0 / n for v in verts}
+    for _ in range(iters):
+        dangling = sum(r[v] for v in verts if v not in out)
+        base = (1.0 - d) / n + d * dangling / n
+        nxt = {v: base for v in verts}
+        for (s, t), wt in w.items():
+            nxt[t] += d * r[s] * (wt / out[s])
+        r = nxt
+    return r
+
+
+def _edges_df(spark):
+    return spark.createDataFrame(
+        EDGES, "src_node string, dst_node string, weight double")
+
+
+def test_pagerank_matches_model(spark):
+    got = {r.node: r.rank
+           for r in pagerank(_edges_df(spark), iterations=10).collect()}
+    want = _model(10)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-9), v
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+    # the two-source vertex outranks the single-source one
+    assert got["c"] > got["b"]
+
+
+def test_pagerank_unweighted_differs_from_weighted(spark):
+    """weight_col=None must treat b->c and b->a equally where the
+    weighted run sends b's mass 2:1 toward c."""
+    wt = {r.node: r.rank
+          for r in pagerank(_edges_df(spark), iterations=5).collect()}
+    uw = {r.node: r.rank
+          for r in pagerank(_edges_df(spark), weight_col=None,
+                            iterations=5).collect()}
+    assert wt["c"] > uw["c"]
+
+
+def test_pagerank_plan_does_not_grow_with_iterations(spark):
+    p3 = pagerank(_edges_df(spark), iterations=3)
+    p6 = pagerank(_edges_df(spark), iterations=6)
+    s3 = p3._jdf.queryExecution().executedPlan().toString()
+    s6 = p6._jdf.queryExecution().executedPlan().toString()
+    # each result reads ONE checkpointed rank frame + the vertex and
+    # contribution sides — iteration count must not appear in the plan
+    assert len(s6) <= len(s3) * 1.5
+    assert s6.count("Scan ExistingRDD") == s3.count("Scan ExistingRDD")
+
+
+def test_degree_stats(spark):
+    got = {r.node: (r.out_degree, r.in_degree)
+           for r in degree_stats(_edges_df(spark)).collect()}
+    # parallel edges counted; d has no out-edges
+    assert got == {"a": (2, 2), "b": (3, 1), "c": (1, 2), "d": (0, 1)}
