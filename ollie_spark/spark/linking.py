@@ -173,18 +173,26 @@ def lsh_candidate_pairs(entities: DataFrame, num_hashes: int = 16,
     # feature space the MinHash blocking approximates, so abbreviation
     # variants ("acme corp" / "acme corporation") survive where
     # token-level Jaccard would reject them
-    def grams(c):
-        col = F.col(c)
-        return F.array_distinct(F.when(
-            F.length(col) < 3, F.array(col)
-        ).otherwise(
-            F.transform(F.sequence(F.lit(1), F.length(col) - 2),
-                        lambda i: col.substr(i, F.lit(3)))))
+    return pairs.where(_char3_jaccard("norm_a", "norm_b")
+                       >= F.lit(jaccard_threshold))
 
-    ga, gb = grams("norm_a"), grams("norm_b")
-    jac = (F.size(F.array_intersect(ga, gb))
-           / F.size(F.array_union(ga, gb)))
-    return pairs.where(jac >= F.lit(jaccard_threshold))
+
+def _char3_grams(c: str):
+    col = F.col(c)
+    return F.array_distinct(F.when(
+        F.length(col) < 3, F.array(col)
+    ).otherwise(
+        F.transform(F.sequence(F.lit(1), F.length(col) - 2),
+                    lambda i: col.substr(i, F.lit(3)))))
+
+
+def _char3_jaccard(a: str, b: str):
+    """Exact char-3-gram Jaccard between two string columns — the ONE
+    verification rule every LSH candidate path applies (batch pair
+    generation and incremental attach share it, no mirrored copy)."""
+    ga, gb = _char3_grams(a), _char3_grams(b)
+    return (F.size(F.array_intersect(ga, gb))
+            / F.size(F.array_union(ga, gb)))
 
 
 def dropped_buckets(entities: DataFrame, num_hashes: int = 16,
@@ -574,16 +582,8 @@ def canonicalize(mentions: DataFrame, num_hashes: int = 16,
     # `linked` scan stored columns instead of re-running the pipeline
     m = m_ann
 
-    if n_map <= broadcast_map_threshold:
-        j1 = m.join(F.broadcast(
-            norm_to_node.withColumnRenamed("norm", "_a1")
-            .withColumnRenamed("node_id", "arg1_node")), "_a1")
-        j2 = j1.join(F.broadcast(
-            norm_to_node.withColumnRenamed("norm", "_a2")
-            .withColumnRenamed("node_id", "arg2_node")), "_a2")
-        linked = j2.drop("_a1", "_a2")
-    else:
-        linked = _fused_salted_link(m, norm_to_node, salt=salt)
+    linked = _link_join(m, norm_to_node, n_map,
+                        broadcast_map_threshold, salt)
 
     edges = (linked.groupBy(
         F.col("arg1_node").alias("src_node"),
@@ -592,6 +592,113 @@ def canonicalize(mentions: DataFrame, num_hashes: int = 16,
         .agg(F.count("*").alias("weight"),
              F.max("conf").alias("conf")))
     return linked, nodes, edges
+
+
+def _link_join(m_ann: DataFrame, norm_to_node: DataFrame, n_map: int,
+               broadcast_map_threshold: int, salt: int) -> DataFrame:
+    """The mentions -> (arg1_node, arg2_node) lookup, strategy picked
+    from the map size (shared by canonicalize and incremental_link —
+    one spelling of the broadcast/salted switch)."""
+    if n_map <= broadcast_map_threshold:
+        j1 = m_ann.join(F.broadcast(
+            norm_to_node.withColumnRenamed("norm", "_a1")
+            .withColumnRenamed("node_id", "arg1_node")), "_a1")
+        j2 = j1.join(F.broadcast(
+            norm_to_node.withColumnRenamed("norm", "_a2")
+            .withColumnRenamed("node_id", "arg2_node")), "_a2")
+        return j2.drop("_a1", "_a2")
+    return _fused_salted_link(m_ann, norm_to_node, salt=salt)
+
+
+def incremental_link(new_mentions: DataFrame, existing_map: DataFrame,
+                     num_hashes: int = 16, bands: int = 8,
+                     salt: int = 8,
+                     broadcast_map_threshold: int = 1_000_000,
+                     jaccard_threshold: float = 0.5,
+                     max_bucket: int = 64,
+                     metrics_out: dict | None = None):
+    """-> (linked_new_mentions, delta_map): link a NEW mention batch
+    against an existing canonical map without re-clustering the whole
+    corpus — the daily-update path at 10^12 docs, where a full
+    canonicalize() re-run both recomputes everything and (worse)
+    can churn node ids the downstream KG already references.
+
+    ``existing_map`` is (norm, node_id) — ``canonicalize``'s canon
+    frame projected, or the union of previous delta_maps.
+
+    Stability contract: rows of ``existing_map`` are NEVER reassigned.
+    New norms resolve in three tiers:
+    1. exact: norm already in the map -> its existing node_id;
+    2. attach: near-duplicate of an existing norm (same banded MinHash
+       blocking + the SAME char-3-gram Jaccard verification as the
+       batch path) -> the existing node_id, MIN across multiple
+       matches (deterministic greedy tie rule);
+    3. novel: the remainder clusters among ITSELF (lsh_candidate_pairs
+       + connected_components) and mints new node ids.  A new id is a
+       min-norm component label over norms disjoint from the map, and
+       every existing id is a min-norm over mapped norms — so fresh
+       ids cannot collide with existing ones.
+
+    Known divergence from a full batch recompute (standard for
+    incremental linking): attachment is per-norm greedy, so evidence
+    in the new batch that two EXISTING nodes are the same entity does
+    not merge them — cluster-level merges are deferred to the next
+    full canonicalize().  ``metrics_out`` receives n_exact / n_attached
+    / n_novel so that drift is observable per increment.
+
+    Scale shape: the new batch's norms are the small side everywhere;
+    the existing map is banded once per increment (persist the banded
+    frame across increments to amortize — it is per-distinct-entity,
+    MBs against a 100 TB corpus) and its degenerate bands are capped
+    like the batch path; the final mention join reuses the
+    broadcast/salted switch (_link_join)."""
+    m_ann = materialize_once(
+        new_mentions
+        .withColumn("_a1", normalize_entity(F.col("arg1_text")))
+        .withColumn("_a2", normalize_entity(F.col("arg2_text"))))
+    norms = (m_ann.select(F.col("_a1").alias("norm"))
+             .unionByName(m_ann.select(F.col("_a2").alias("norm")))
+             .where(F.col("norm") != "").distinct())
+    unknown = materialize_once(
+        norms.join(existing_map, "norm", "left_anti"))
+
+    b_new = materialize_once(_lsh_banded(unknown, num_hashes, bands))
+    b_old = _lsh_banded(existing_map.select("norm").distinct(),
+                        num_hashes, bands)
+    old_sizes = b_old.groupBy("band_key").agg(
+        F.count("*").alias("_bn"))
+    b_old_kept = (b_old.join(old_sizes, "band_key")
+                  .where(F.col("_bn") <= max_bucket)
+                  .select("band_key", F.col("norm").alias("_old")))
+    attached = (b_new.join(b_old_kept, "band_key")
+                .select("norm", "_old").distinct()
+                .where(_char3_jaccard("norm", "_old")
+                       >= F.lit(jaccard_threshold))
+                .join(existing_map.withColumnRenamed("norm", "_old"),
+                      "_old")
+                .groupBy("norm").agg(F.min("node_id").alias("node_id")))
+    attached = materialize_once(attached)
+
+    novel = materialize_once(
+        unknown.join(attached, "norm", "left_anti"))
+    pairs = lsh_candidate_pairs(novel, num_hashes=num_hashes,
+                                bands=bands,
+                                jaccard_threshold=jaccard_threshold,
+                                max_bucket=max_bucket,
+                                metrics_out=metrics_out)
+    comp = connected_components(pairs, novel)
+    fresh = comp.select("norm", F.col("component").alias("node_id"))
+
+    delta_map = materialize_once(attached.unionByName(fresh))
+    full_map = existing_map.unionByName(delta_map)
+    n_map = full_map.count()
+    if metrics_out is not None:
+        metrics_out["n_exact"] = norms.count() - unknown.count()
+        metrics_out["n_attached"] = attached.count()
+        metrics_out["n_novel"] = novel.count()
+    linked = _link_join(m_ann, full_map, n_map,
+                        broadcast_map_threshold, salt)
+    return linked, delta_map
 
 
 # the salt of the fused link is keyed on the melted row identity —

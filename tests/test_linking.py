@@ -411,3 +411,74 @@ def test_stage_writer_rejects_bucket_count_drift(spark, mentions,
     r = StageWriter(spark, root, n_buckets=8).run_stage("mentions",
                                                         mentions)
     assert sorted(r["buckets"]) == [2, 3, 4, 5, 6, 7]
+
+
+def _mention_frame(spark, triples):
+    return spark.createDataFrame(
+        [(a, r, b, 0.9) for a, r, b in triples],
+        "arg1_text string, rel_text string, arg2_text string, "
+        "conf double")
+
+
+def test_incremental_link_three_tiers(spark):
+    """Exact / attach / novel resolution against an existing map, with
+    the stability contract (existing ids never change) and the tier
+    metrics observable."""
+    from ollie_spark.spark.linking import canonicalize, incremental_link
+
+    batch_a = _mention_frame(spark, [
+        ("Barack Obama", "visited", "Chicago"),
+        ("barack obama", "born in", "Hawaii"),
+    ])
+    _, nodes_a, _ = canonicalize(batch_a)
+    # the persisted (norm, node_id) map a production run would store
+    existing = (nodes_a.select(F.explode("aliases").alias("norm"),
+                               F.col("node_id")))
+    old_ids = {r.norm: r.node_id for r in existing.collect()}
+
+    batch_b = _mention_frame(spark, [
+        ("Barack Obama", "met", "Angela Merkel"),      # exact: obama
+        ("Barack H Obama", "spoke in", "Chicago"),     # attach + exact
+        ("Quantum Widget", "made by", "Quantum Widgets"),  # novel pair
+    ])
+    mo = {}
+    linked, delta = incremental_link(batch_b, existing, metrics_out=mo)
+    delta_map = {r.norm: r.node_id for r in delta.collect()}
+    rows = linked.collect()
+
+    # exact: known norms keep their OLD ids in the linked output
+    by_arg1 = {r.arg1_text: r.arg1_node for r in rows}
+    assert by_arg1["Barack Obama"] == old_ids["barack obama"]
+    # attach: the near-duplicate spelling lands on the existing node
+    assert delta_map["barack h obama"] == old_ids["barack obama"]
+    assert by_arg1["Barack H Obama"] == old_ids["barack obama"]
+    # novel: the widget pair clusters together under a FRESH id
+    w1, w2 = delta_map["quantum widget"], delta_map["quantum widgets"]
+    assert w1 == w2
+    assert w1 not in set(old_ids.values())
+    # delta only ADDS rows; nothing in the existing map was touched
+    assert set(delta_map) & set(old_ids) == set()
+    assert mo["n_exact"] >= 2 and mo["n_attached"] == 1
+    assert mo["n_novel"] == len(delta_map) - mo["n_attached"]
+
+
+def test_incremental_link_equals_batch_when_map_empty(spark):
+    """With an empty existing map every norm is novel, so the
+    incremental clustering must reproduce the batch canonicalize
+    node assignment exactly (same LSH + CC + labels)."""
+    from ollie_spark.spark.linking import canonicalize, incremental_link
+
+    batch = _mention_frame(spark, [
+        ("Acme Corp", "acquired", "Globex"),
+        ("Acme Corporation", "sued", "Initech"),
+        ("Globex", "hired", "Hank Scorpio"),
+    ])
+    _, nodes, _ = canonicalize(batch)
+    want = {r.norm: r.node_id
+            for r in nodes.select(F.explode("aliases").alias("norm"),
+                                  "node_id").collect()}
+    empty = batch.sparkSession.createDataFrame(
+        [], "norm string, node_id string")
+    _, delta = incremental_link(batch, empty)
+    got = {r.norm: r.node_id for r in delta.collect()}
+    assert got == want
