@@ -157,6 +157,60 @@ def curation_filter_stream(docs_stream: DataFrame,
     return docs_stream.where(keep_lang & keep_quality & keep_rep)
 
 
+def link_mention_batch(batch_df: DataFrame, batch_id: int,
+                       map_dir: str, linked_dir: str) -> None:
+    """One micro-batch of continuous KG maintenance: incrementally
+    link ``batch_df`` against the accumulated canonical map and write
+    (a) the map DELTA and (b) the linked mentions, each into a
+    ``batch_id=<n>`` partition via dynamic overwrite.
+
+    Replay determinism: the map is read EXCLUDING this batch's own
+    partition, so a batch replayed after a crash (delta written,
+    checkpoint not committed) sees byte-identical input state — and
+    because novel node ids are content-derived min-norm labels, the
+    rewritten partitions are identical to the first attempt's.  The
+    map read is a spark.read probe (AnalysisException = no map yet),
+    the object-store-safe spelling from materialize.StageWriter."""
+    from pyspark.errors import AnalysisException
+
+    from .linking import incremental_link
+    spark = batch_df.sparkSession
+    try:
+        existing = (spark.read.parquet(map_dir)
+                    .where(F.col("batch_id") != batch_id)
+                    .select("norm", "node_id"))
+    except AnalysisException:
+        existing = spark.createDataFrame([], "norm string, node_id string")
+    linked, delta = incremental_link(batch_df, existing)
+    (delta.withColumn("batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id").parquet(map_dir))
+    write_mention_batch(linked, batch_id, linked_dir)
+
+
+def stream_link(spark: SparkSession, input_dir: str, schema: str,
+                map_dir: str, linked_dir: str, checkpoint_dir: str):
+    """Continuous KG maintenance: a mention stream incrementally
+    linked against an accumulating canonical map (stream_extract's
+    output directory is a valid ``input_dir``).  Per micro-batch the
+    exact/attach/novel tiers of ``linking.incremental_link`` apply,
+    so node ids the downstream KG references never churn as the
+    stream grows; exactly-once = streaming checkpoint + the
+    batch_id-partitioned dynamic overwrites (see link_mention_batch).
+    Returns the StreamingQuery (caller awaits/stops it)."""
+    ments = (spark.readStream.schema(schema).parquet(input_dir))
+
+    def process(batch_df: DataFrame, batch_id: int):
+        link_mention_batch(batch_df, batch_id, map_dir, linked_dir)
+
+    return (ments.writeStream
+            .foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
 def session_stats_stream(events_stream: DataFrame,
                          user_col: str = "user_id",
                          ts_col: str = "ts",

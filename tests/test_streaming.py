@@ -294,3 +294,66 @@ def test_session_stats_stream_merges_across_batches(spark, tmp_path):
             for r in session_stats(batch).collect()]
     assert got == want
     assert got[0][3] == 3 and got[0][4] == 7.0
+
+
+def test_stream_link_accumulates_stable_ids(spark, tmp_path):
+    """Continuous KG maintenance: batch 2's mentions of batch-1
+    entities must resolve to the ORIGINAL node ids (no churn as the
+    stream grows), near-dup spellings attach, novel entities mint
+    fresh ids — and a manual replay of a batch (crash-before-
+    checkpoint) leaves map and linked output multiset-identical."""
+    from ollie_spark.spark.streaming import link_mention_batch, stream_link
+
+    schema = ("arg1_text string, rel_text string, arg2_text string, "
+              "conf double")
+    in_dir, map_dir = str(tmp_path / "in"), str(tmp_path / "map")
+    linked_dir, ckpt = str(tmp_path / "linked"), str(tmp_path / "ckpt")
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+
+    def run():
+        q = stream_link(spark, in_dir, schema, map_dir, linked_dir, ckpt)
+        q.awaitTermination()
+
+    feed([("Barack Obama", "visited", "Chicago", 0.9),
+          ("barack obama", "born in", "Hawaii", 0.9)])
+    run()
+    map1 = {r.norm: r.node_id
+            for r in spark.read.parquet(map_dir).collect()}
+    assert {"barack obama", "chicago", "hawaii"} <= set(map1)
+    obama_id = map1["barack obama"]
+
+    feed([("Barack H Obama", "met", "Angela Merkel", 0.9),   # attach
+          ("Barack Obama", "spoke in", "Chicago", 0.9),      # exact
+          ("Quantum Widget", "made by", "Globex", 0.9)])     # novel
+    run()
+    mp = spark.read.parquet(map_dir)
+    map2 = {r.norm: r.node_id for r in mp.collect()}
+    linked = spark.read.parquet(linked_dir)
+    by_arg1 = {r.arg1_text: r.arg1_node for r in linked.collect()}
+
+    assert mp.count() == mp.select("norm").distinct().count()  # no dups
+    for k, v in map1.items():            # stability: batch-1 ids kept
+        assert map2[k] == v
+    assert by_arg1["Barack Obama"] == obama_id
+    assert map2["barack h obama"] == obama_id          # attached
+    assert by_arg1["Barack H Obama"] == obama_id
+    assert map2["quantum widget"] not in set(map1.values())   # fresh
+
+    # replay batch 1 (its delta partition already on disk): both
+    # stores must be multiset-identical afterwards
+    before_map = sorted((r.norm, r.node_id, r.batch_id)
+                        for r in mp.collect())
+    before_linked = sorted(map(tuple, linked.collect()))
+    b1 = spark.read.parquet(in_dir).where(
+        F.col("arg1_text").isin("Barack Obama", "barack obama")
+        & F.col("rel_text").isin("visited", "born in"))
+    link_mention_batch(b1, 0, map_dir, linked_dir)
+    after_map = sorted((r.norm, r.node_id, r.batch_id)
+                       for r in spark.read.parquet(map_dir).collect())
+    after_linked = sorted(map(tuple,
+                              spark.read.parquet(linked_dir).collect()))
+    assert after_map == before_map
+    assert after_linked == before_linked
