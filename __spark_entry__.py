@@ -578,6 +578,41 @@ def q45_cohort_retention(spark, sf_dir):
             .orderBy("cohort_date"))
 
 
+def q47_data_quality(spark, sf_dir):
+    """Constraint-battery data validation (the Deequ-style gate a
+    pipeline runs before promoting a table): per-check violation
+    counts — primary-key uniqueness, referential integrity
+    (lineitem.l_orderkey in orders), null checks, and value-range
+    rules.  All of one table's row-level checks fold into ONE
+    conditional-sum aggregation over ONE scan; the FK check is a
+    broadcast-able anti-join; the per-check rows unpivot via stack()
+    from the three 1-row frames, so the whole battery costs two scans
+    + one join regardless of how many checks are registered."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    viol = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    oc = o.agg(
+        (F.count("*") - F.countDistinct("o_orderkey"))
+        .alias("orders_pk_dup"),
+        viol(F.col("o_totalprice") <= 0).alias("orders_nonpos_price"),
+        viol(F.col("o_orderdate").isNull()).alias("orders_null_date"))
+    lc = li.agg(
+        viol((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50))
+        .alias("lineitem_qty_range"),
+        viol(F.col("l_shipdate").isNull())
+        .alias("lineitem_null_shipdate"))
+    fk = (li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti")
+          .agg(F.count("*").alias("lineitem_fk_orphans")))
+    checks = ("orders_pk_dup", "orders_nonpos_price",
+              "orders_null_date", "lineitem_qty_range",
+              "lineitem_null_shipdate", "lineitem_fk_orphans")
+    stack = ", ".join(f"'{c}', {c}" for c in checks)
+    return (oc.crossJoin(lc).crossJoin(fk)
+            .select(F.expr(f"stack({len(checks)}, {stack}) "
+                           "as (check_name, n_violations)"))
+            .orderBy("check_name"))
+
+
 _FUNNEL_STEPS = ("signup", "view", "purchase")
 
 
@@ -804,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_value_percentiles": q44_value_percentiles,
         "q45_cohort_retention": q45_cohort_retention,
         "q46_conversion_funnel": q46_conversion_funnel,
+        "q47_data_quality": q47_data_quality,
         "kg_extract_mentions": kg_extract_mentions,
         "kg_graph_edges": kg_graph_edges,
         "kg_pagerank": kg_pagerank,
@@ -1655,4 +1691,33 @@ def oracle_sql() -> dict[str, str]:
                          / (SELECT COUNT(*) FROM s1), 6) AS rate12,
                    ROUND(1.0 * (SELECT COUNT(*) FROM s3)
                          / (SELECT COUNT(*) FROM s1), 6) AS rate13""",
+        # same battery recomputed with independent SQL spellings
+        # (NOT EXISTS for the anti-join)
+        "q47_data_quality": """
+            WITH o AS (SELECT
+                    COUNT(*) - COUNT(DISTINCT o_orderkey) AS pk_dup,
+                    SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0
+                        END) AS nonpos,
+                    SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0
+                        END) AS nulldate FROM orders),
+            l AS (SELECT
+                    SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                        THEN 1 ELSE 0 END) AS qtyrange,
+                    SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0
+                        END) AS nullship FROM lineitem),
+            fk AS (SELECT COUNT(*) AS orphans FROM lineitem li
+                   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                     WHERE o.o_orderkey = li.l_orderkey))
+            SELECT check_name, CAST(n_violations AS BIGINT)
+                       AS n_violations
+            FROM (
+                SELECT 'orders_pk_dup' AS check_name,
+                       pk_dup AS n_violations FROM o
+                UNION ALL SELECT 'orders_nonpos_price', nonpos FROM o
+                UNION ALL SELECT 'orders_null_date', nulldate FROM o
+                UNION ALL SELECT 'lineitem_qty_range', qtyrange FROM l
+                UNION ALL SELECT 'lineitem_null_shipdate', nullship
+                          FROM l
+                UNION ALL SELECT 'lineitem_fk_orphans', orphans FROM fk)
+            ORDER BY check_name""",
     }

@@ -410,3 +410,46 @@ def test_q46_funnel_strictly_after_hand_case(spark, tmp_path):
         spark, str(tmp_path)).collect()[0]
     assert (r.n_step1, r.n_step2, r.n_step3) == (4, 2, 1)
     assert (r.rate12, r.rate13) == (0.5, 0.25)
+
+
+def test_q47_data_quality_counts_planted_violations(spark, tmp_path):
+    """The generated tables are clean (every check reads 0), so this
+    plants one-or-more violations of EVERY kind in a synthetic pair of
+    tables and asserts the exact per-check counts."""
+    import datetime as dt
+
+    import __spark_entry__ as em
+
+    D = dt.datetime(2024, 1, 1)
+    orders = [
+        (1, 10, "O", 100.0, D, "1-URGENT"),
+        (1, 11, "F", 50.0, D, "2-HIGH"),        # dup pk (x1 extra)
+        (2, 12, "O", -5.0, D, "3-MEDIUM"),      # nonpos price
+        (3, 13, "O", 0.0, None, "4-LOW"),       # nonpos + null date
+    ]
+    li = [
+        (1, 1, 1, 1, 10.0, 1.0, 0.0, 0.0, "N", "O", D),
+        (9, 1, 1, 1, 10.0, 1.0, 0.0, 0.0, "N", "O", D),   # orphan fk
+        (2, 1, 1, 2, 0.0, 1.0, 0.0, 0.0, "N", "O", D),    # qty < 1
+        (2, 1, 1, 3, 99.0, 1.0, 0.0, 0.0, "N", "O", None),  # qty>50+null
+    ]
+    (spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderstatus string,"
+                " o_totalprice double, o_orderdate timestamp_ntz,"
+                " o_orderpriority string")
+     .write.parquet(str(tmp_path / "orders.parquet")))
+    (spark.createDataFrame(
+        li, "l_orderkey long, l_partkey long, l_suppkey long,"
+            " l_linenumber int, l_quantity double, l_extendedprice"
+            " double, l_discount double, l_tax double, l_returnflag"
+            " string, l_linestatus string, l_shipdate timestamp_ntz")
+     .write.parquet(str(tmp_path / "lineitem.parquet")))
+    got = {r.check_name: r.n_violations
+           for r in em.queries()["q47_data_quality"](
+               spark, str(tmp_path)).collect()}
+    assert got == {"orders_pk_dup": 1,
+                   "orders_nonpos_price": 2,
+                   "orders_null_date": 1,
+                   "lineitem_qty_range": 2,
+                   "lineitem_null_shipdate": 1,
+                   "lineitem_fk_orphans": 1}
