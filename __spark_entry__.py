@@ -578,6 +578,33 @@ def q45_cohort_retention(spark, sf_dir):
             .orderBy("cohort_date"))
 
 
+def q48_rolling_daily(spark, sf_dir):
+    """Per-user 7-day rolling activity (trailing-window user stats —
+    the engagement feature a training pipeline joins onto examples):
+    daily rollup first (shrinks events to one row per user-day), then
+    a RANGE frame over the integer day number — RANGE, not ROWS,
+    because missing days must still age out of the window; both
+    engines order by the same BIGINT day so frame bounds are exact.
+    Two shuffles total (daily agg + the same-keyed window sort)."""
+    from ollie_spark.spark.temporal import epoch_us
+    day_us = 86_400_000_000
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.select("user_id",
+                       (epoch_us("ts") / day_us).cast("long")
+                       .alias("day"),
+                       _dec(F.col("value")).alias("_v"))
+             .groupBy("user_id", "day")
+             .agg(F.count("*").alias("n"),
+                  F.sum("_v").alias("v")))
+    w = (Window.partitionBy("user_id").orderBy("day")
+         .rangeBetween(-6, 0))
+    return (daily.select(
+        "user_id", "day",
+        F.sum("n").over(w).alias("n_7d"),
+        F.sum("v").over(w).cast("double").alias("value_7d"))
+        .orderBy("user_id", "day"))
+
+
 def q47_data_quality(spark, sf_dir):
     """Constraint-battery data validation (the Deequ-style gate a
     pipeline runs before promoting a table): per-check violation
@@ -840,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_cohort_retention": q45_cohort_retention,
         "q46_conversion_funnel": q46_conversion_funnel,
         "q47_data_quality": q47_data_quality,
+        "q48_rolling_daily": q48_rolling_daily,
         "kg_extract_mentions": kg_extract_mentions,
         "kg_graph_edges": kg_graph_edges,
         "kg_pagerank": kg_pagerank,
@@ -1720,4 +1748,19 @@ def oracle_sql() -> dict[str, str]:
                           FROM l
                 UNION ALL SELECT 'lineitem_fk_orphans', orphans FROM fk)
             ORDER BY check_name""",
+        # same BIGINT day key and RANGE frame; DECIMAL sum cast DOUBLE
+        # per the battery's bit-parity convention
+        "q48_rolling_daily": """
+            WITH daily AS (
+                SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                       COUNT(*) AS n,
+                       SUM(CAST(value AS DECIMAL(18,4))) AS v
+                FROM events GROUP BY user_id, day)
+            SELECT user_id, day,
+                   CAST(SUM(n) OVER w AS BIGINT) AS n_7d,
+                   CAST(SUM(v) OVER w AS DOUBLE) AS value_7d
+            FROM daily
+            WINDOW w AS (PARTITION BY user_id ORDER BY day
+                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+            ORDER BY user_id, day""",
     }

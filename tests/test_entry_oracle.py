@@ -453,3 +453,28 @@ def test_q47_data_quality_counts_planted_violations(spark, tmp_path):
                    "lineitem_qty_range": 2,
                    "lineitem_null_shipdate": 1,
                    "lineitem_fk_orphans": 1}
+
+
+def test_q48_rolling_range_ages_out_gaps(spark, tmp_path):
+    """The RANGE frame must age out days older than 6 even when the
+    user has NO rows in between (a ROWS frame would keep them) — the
+    generated corpus is gap-free, so this plants a 9-day silence."""
+    import datetime as dt
+
+    import __spark_entry__ as em
+
+    def e(i, u, day, val):
+        return (i, dt.datetime(2024, 1, 1 + day), u, "view", val, "{}")
+    rows = [e(0, 1, 0, 10.0), e(1, 1, 1, 20.0),   # adjacent days
+            e(2, 1, 10, 40.0),                     # 9-day gap
+            e(3, 1, 16, 80.0)]                     # exactly 6 later
+    (spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+     .write.parquet(str(tmp_path / "events.parquet")))
+    got = [(r.day - 19723, r.n_7d, r.value_7d)  # 2024-01-01 epoch day
+           for r in em.queries()["q48_rolling_daily"](
+               spark, str(tmp_path)).collect()]
+    assert got == [(0, 1, 10.0), (1, 2, 30.0),
+                   (10, 1, 40.0),            # days 0-1 aged out
+                   (16, 2, 120.0)]           # day 10 still in [10..16]
