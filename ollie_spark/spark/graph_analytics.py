@@ -57,20 +57,24 @@ def pagerank(edges: DataFrame, src_col: str = "src_node",
         e.select(F.col("_s").alias("node"))
         .union(e.select(F.col("_d").alias("node"))).distinct())
     n = verts.count()
-    has_out = out_w.select(F.col("_s").alias("node"),
-                           F.lit(True).alias("_has_out"))
+    if n == 0:
+        return verts.select("node", F.lit(1.0).alias("rank"))
+    # dangling-node set, materialized once: the per-round dangling
+    # probe must not re-aggregate out-weights over the edge frame
+    dangling_nodes = materialize_once(
+        verts.join(out_w.select(F.col("_s").alias("node")),
+                   "node", "left_anti"))
 
     ranks = materialize_once(
         verts.select("node", F.lit(1.0 / n).alias("rank")))
     for _ in range(iterations):
-        annotated = ranks.join(has_out, "node", "left")
-        dangling = (annotated.where(F.col("_has_out").isNull())
+        dangling = (ranks.join(dangling_nodes, "node", "left_semi")
                     .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
                     .collect()[0][0])  # one scalar per round, tiny agg
-        contribs = (annotated.join(
-            trans, annotated["node"] == trans["_s"])
-            .groupBy(F.col("_d").alias("node"))
-            .agg(F.sum(F.col("rank") * F.col("_frac")).alias("_c")))
+        contribs = (ranks.join(trans, ranks["node"] == trans["_s"])
+                    .groupBy(F.col("_d").alias("node"))
+                    .agg(F.sum(F.col("rank") * F.col("_frac"))
+                         .alias("_c")))
         base = (1.0 - damping) / n + damping * dangling / n
         ranks = materialize_once(
             verts.join(contribs, "node", "left")

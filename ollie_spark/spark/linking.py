@@ -616,7 +616,8 @@ def incremental_link(new_mentions: DataFrame, existing_map: DataFrame,
                      broadcast_map_threshold: int = 1_000_000,
                      jaccard_threshold: float = 0.5,
                      max_bucket: int = 64,
-                     metrics_out: dict | None = None):
+                     metrics_out: dict | None = None,
+                     caches_out: list | None = None):
     """-> (linked_new_mentions, delta_map): link a NEW mention batch
     against an existing canonical map without re-clustering the whole
     corpus — the daily-update path at 10^12 docs, where a full
@@ -644,7 +645,17 @@ def incremental_link(new_mentions: DataFrame, existing_map: DataFrame,
     in the new batch that two EXISTING nodes are the same entity does
     not merge them — cluster-level merges are deferred to the next
     full canonicalize().  ``metrics_out`` receives n_exact / n_attached
-    / n_novel so that drift is observable per increment.
+    / n_novel plus ``dropped_bands_attach`` (hot existing-map bands the
+    cap excluded — near-dups of those entities mint fresh ids instead
+    of attaching, so the drift is observable, never silent;
+    ``dropped_buckets`` keeps its batch meaning: the NOVEL tier's own
+    clustering) so drift is observable per increment.
+
+    ``caches_out`` (canonicalize's convention): receives every frame
+    this call materializes so a repeated caller — stream_link runs one
+    call PER MICRO-BATCH — can release them once the outputs are
+    written; without it a long-lived session stacks per-batch
+    checkpoint/persist blocks.
 
     Scale shape: the new batch's norms are the small side everywhere;
     the existing map is banded once per increment (persist the banded
@@ -652,35 +663,49 @@ def incremental_link(new_mentions: DataFrame, existing_map: DataFrame,
     MBs against a 100 TB corpus) and its degenerate bands are capped
     like the batch path; the final mention join reuses the
     broadcast/salted switch (_link_join)."""
-    m_ann = materialize_once(
+    def _mat(df):
+        out = materialize_once(df)
+        if caches_out is not None:
+            caches_out.append(out)
+        return out
+
+    m_ann = _mat(
         new_mentions
         .withColumn("_a1", normalize_entity(F.col("arg1_text")))
         .withColumn("_a2", normalize_entity(F.col("arg2_text"))))
     norms = (m_ann.select(F.col("_a1").alias("norm"))
              .unionByName(m_ann.select(F.col("_a2").alias("norm")))
              .where(F.col("norm") != "").distinct())
-    unknown = materialize_once(
-        norms.join(existing_map, "norm", "left_anti"))
+    unknown = _mat(norms.join(existing_map, "norm", "left_anti"))
 
-    b_new = materialize_once(_lsh_banded(unknown, num_hashes, bands))
-    b_old = _lsh_banded(existing_map.select("norm").distinct(),
-                        num_hashes, bands)
+    b_new = _mat(_lsh_banded(unknown, num_hashes, bands))
+    # the map-side band frame is read TWICE (sizes + the kept-join
+    # probe) and its minhash pipeline is the dominant blocking cost —
+    # materialize it once per increment (persist it ACROSS increments
+    # to amortize further; it only grows by delta_map rows)
+    b_old = _mat(_lsh_banded(existing_map.select("norm").distinct(),
+                             num_hashes, bands))
     old_sizes = b_old.groupBy("band_key").agg(
         F.count("*").alias("_bn"))
+    if metrics_out is not None:
+        # attach-tier drops are NOT silent: a hot existing band that
+        # exceeds the cap means new near-dup spellings of its entities
+        # mint fresh ids instead of attaching (permanent drift until
+        # the next full canonicalize) — surface it per increment
+        metrics_out["dropped_bands_attach"] = (
+            old_sizes.where(F.col("_bn") > max_bucket).count())
     b_old_kept = (b_old.join(old_sizes, "band_key")
                   .where(F.col("_bn") <= max_bucket)
                   .select("band_key", F.col("norm").alias("_old")))
-    attached = (b_new.join(b_old_kept, "band_key")
-                .select("norm", "_old").distinct()
-                .where(_char3_jaccard("norm", "_old")
-                       >= F.lit(jaccard_threshold))
-                .join(existing_map.withColumnRenamed("norm", "_old"),
-                      "_old")
-                .groupBy("norm").agg(F.min("node_id").alias("node_id")))
-    attached = materialize_once(attached)
+    attached = _mat(
+        b_new.join(b_old_kept, "band_key")
+        .select("norm", "_old").distinct()
+        .where(_char3_jaccard("norm", "_old")
+               >= F.lit(jaccard_threshold))
+        .join(existing_map.withColumnRenamed("norm", "_old"), "_old")
+        .groupBy("norm").agg(F.min("node_id").alias("node_id")))
 
-    novel = materialize_once(
-        unknown.join(attached, "norm", "left_anti"))
+    novel = _mat(unknown.join(attached, "norm", "left_anti"))
     pairs = lsh_candidate_pairs(novel, num_hashes=num_hashes,
                                 bands=bands,
                                 jaccard_threshold=jaccard_threshold,
@@ -689,7 +714,7 @@ def incremental_link(new_mentions: DataFrame, existing_map: DataFrame,
     comp = connected_components(pairs, novel)
     fresh = comp.select("norm", F.col("component").alias("node_id"))
 
-    delta_map = materialize_once(attached.unionByName(fresh))
+    delta_map = _mat(attached.unionByName(fresh))
     full_map = existing_map.unionByName(delta_map)
     n_map = full_map.count()
     if metrics_out is not None:

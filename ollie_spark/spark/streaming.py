@@ -181,12 +181,18 @@ def link_mention_batch(batch_df: DataFrame, batch_id: int,
                     .select("norm", "node_id"))
     except AnalysisException:
         existing = spark.createDataFrame([], "norm string, node_id string")
-    linked, delta = incremental_link(batch_df, existing)
+    caches = []
+    linked, delta = incremental_link(batch_df, existing,
+                                     caches_out=caches)
     (delta.withColumn("batch_id", F.lit(batch_id))
      .write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("batch_id").parquet(map_dir))
     write_mention_batch(linked, batch_id, linked_dir)
+    # both outputs are on disk: release this batch's materialized
+    # frames so a long-running stream doesn't stack per-batch caches
+    for c in caches:
+        c.unpersist()
 
 
 def stream_link(spark: SparkSession, input_dir: str, schema: str,

@@ -124,3 +124,11 @@ def test_kg_pagerank_matches_model_on_real_kg(spark):
     assert set(got) == set(r)
     for v, rv in r.items():
         assert got[v] == pytest.approx(round(rv, 6), abs=2e-6), v
+
+
+def test_pagerank_empty_edges_returns_empty_frame(spark):
+    empty = spark.createDataFrame(
+        [], "src_node string, dst_node string, weight double")
+    out = pagerank(empty, iterations=3)
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0

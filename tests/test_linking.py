@@ -482,3 +482,31 @@ def test_incremental_link_equals_batch_when_map_empty(spark):
     _, delta = incremental_link(batch, empty)
     got = {r.norm: r.node_id for r in delta.collect()}
     assert got == want
+
+
+def test_incremental_link_attach_drops_are_counted(spark):
+    """A hot existing-map band excluded by the cap means near-dups
+    mint fresh ids instead of attaching — the per-increment
+    dropped_bands_attach metric must surface it (never silent)."""
+    from ollie_spark.spark.linking import incremental_link
+
+    # "aabaab" and "abaaba" have the SAME char-3-gram set, so their
+    # minhash signatures — hence ALL their bands — are identical:
+    # with max_bucket=1 every one of those bands is over the cap
+    existing = spark.createDataFrame(
+        [("aabaab", "n1"), ("abaaba", "n1")],
+        "norm string, node_id string")
+    batch = _mention_frame(spark, [("Aabaabx", "made", "Widget")])
+    mo = {}
+    _, delta = incremental_link(batch, existing, metrics_out=mo,
+                                max_bucket=1)
+    assert mo["dropped_bands_attach"] >= 1
+    # with every old band over the cap, the near-dup went novel
+    dm = {r.norm: r.node_id for r in delta.collect()}
+    assert dm["aabaabx"] != "n1"
+    # and the releasable-caches hook mirrors canonicalize's contract
+    caches = []
+    incremental_link(batch, existing, caches_out=caches)
+    assert len(caches) >= 5
+    for c in caches:
+        c.unpersist()
