@@ -31,7 +31,8 @@ PLAN_QUERIES = [
     "q31_pii_scrub", "q32_mixture_weights", "q33_pack_shards",
     "q34_line_dedup", "q35_dup_spans",
     "q37_sessionize", "q38_asof_purchase", "q40_session_stats",
-    "q42_hopping_rollup", "q43_bm25_search", "q46_conversion_funnel",
+    "q42_hopping_rollup", "q43_bm25_search", "q45_cohort_retention",
+    "q46_conversion_funnel", "q47_data_quality", "q48_rolling_daily",
 ]
 
 
