@@ -175,12 +175,16 @@ def q11_dedup_exact(spark, sf_dir):
             .orderBy("lang"))
 
 
-from ollie_spark.spark.temporal import \
-    SESSION_GAP_MINUTES as _SESSION_GAP_MIN  # noqa: E402
+from ollie_spark.spark.temporal import (  # noqa: E402
+    HOPPING_SLIDE_MINUTES as _HOP_SLIDE_MIN,
+    SESSION_GAP_MINUTES as _SESSION_GAP_MIN,
+    TUMBLING_WINDOW_MINUTES as _TUMBLE_MIN)
 
+# oracle constants derive from the ONE Python source (temporal.py) —
+# a changed default there cannot silently desynchronize the oracles
 _SESSION_GAP_US = _SESSION_GAP_MIN * 60_000_000
-_HOUR_US = 3_600_000_000          # q41 tumbling width
-_HALF_HOUR_US = 1_800_000_000     # q42 hopping slide (window = 2*slide)
+_HOUR_US = _TUMBLE_MIN * 60_000_000          # q41 tumbling width
+_HALF_HOUR_US = _HOP_SLIDE_MIN * 60_000_000  # q42 slide (window=2*slide)
 
 from ollie_spark.spark.textops import (BM25_B as _BM25_B,  # noqa: E402
                                        BM25_K1 as _BM25_K1,
@@ -526,7 +530,12 @@ def q39_json_props(spark, sf_dir):
     JSON parser (json_extract_string), so the extraction semantics
     are cross-engine checked."""
     ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    # parse as double then truncate toward zero: a bare string->long
+    # cast truncates in Spark but ROUNDS in DuckDB (and throws under
+    # ANSI for fractional strings) — this spelling is engine-exact
+    # even if a future corpus carries fractional k values
+    k = (F.get_json_object(F.col("props"), "$.k")
+         .cast("double").cast("long"))
     return (ev.select("event_type", k.alias("_k"))
             .groupBy("event_type")
             .agg(F.count("*").alias("n_events"),
@@ -652,15 +661,21 @@ def q46_conversion_funnel(spark, sf_dir):
     never a per-user collect_list (a whale user's full history in one
     row) and never a window over the raw events.  Times compare in
     integer micros (epoch_us both engines)."""
+    from ollie_spark.spark.materialize import materialize_once
     from ollie_spark.spark.temporal import epoch_us
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "event_type", epoch_us("ts").alias("us"))
     s1, s2, s3 = _FUNNEL_STEPS
-    t1 = (ev.where(F.col("event_type") == s1)
-          .groupBy("user_id").agg(F.min("us").alias("t1")))
-    t2 = (ev.where(F.col("event_type") == s2).join(t1, "user_id")
-          .where(F.col("us") > F.col("t1"))
-          .groupBy("user_id").agg(F.min("us").alias("t2")))
+    # each step frame feeds BOTH the next step's join and its own
+    # count — materialize_once per step, or every count re-runs the
+    # whole upstream cascade (multi-consumer rule, CLAUDE.md)
+    t1 = materialize_once(
+        ev.where(F.col("event_type") == s1)
+        .groupBy("user_id").agg(F.min("us").alias("t1")))
+    t2 = materialize_once(
+        ev.where(F.col("event_type") == s2).join(t1, "user_id")
+        .where(F.col("us") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("us").alias("t2")))
     t3 = (ev.where(F.col("event_type") == s3).join(t2, "user_id")
           .where(F.col("us") > F.col("t2"))
           .groupBy("user_id").agg(F.min("us").alias("t3")))
@@ -1575,10 +1590,11 @@ def oracle_sql() -> dict[str, str]:
         # of the JSON-path semantics, not just the aggregate
         "q39_json_props": """
             SELECT event_type, COUNT(*) AS n_events,
-                   CAST(SUM(CAST(json_extract_string(props, '$.k')
-                                 AS BIGINT)) AS BIGINT) AS sum_k,
-                   ROUND(AVG(CAST(json_extract_string(props, '$.k')
-                                  AS BIGINT)), 6) AS avg_k
+                   CAST(SUM(CAST(TRUNC(CAST(json_extract_string(props,
+                       '$.k') AS DOUBLE)) AS BIGINT)) AS BIGINT)
+                       AS sum_k,
+                   ROUND(AVG(CAST(TRUNC(CAST(json_extract_string(props,
+                       '$.k') AS DOUBLE)) AS BIGINT)), 6) AS avg_k
             FROM events GROUP BY event_type ORDER BY event_type""",
         # independent lag/running-sum spelling of session_window's
         # merge rule: a window [t, t+gap) MERGES an event at exactly

@@ -36,53 +36,79 @@ PAGERANK_ITERATIONS = 10
 def pagerank(edges: DataFrame, src_col: str = "src_node",
              dst_col: str = "dst_node", weight_col: str | None = "weight",
              damping: float = PAGERANK_DAMPING,
-             iterations: int = PAGERANK_ITERATIONS) -> DataFrame:
+             iterations: int = PAGERANK_ITERATIONS,
+             caches_out: list | None = None) -> DataFrame:
     """Weighted PageRank by ``iterations`` rounds of power iteration;
     returns (node, rank) with ranks summing to 1.  Parallel edges are
     pre-aggregated; ``weight_col=None`` means unweighted (every edge
     weight 1).  Contributions split per-source proportionally to edge
-    weight: contrib(s->d) = rank(s) * w(s,d) / W(s)."""
+    weight: contrib(s->d) = rank(s) * w(s,d) / W(s).
+
+    Per-round job shape: the dangling mass is a 1-row aggregate
+    cross-joined (broadcast) into the rank-update plan — no per-round
+    driver collect — and it is skipped entirely when the graph has no
+    dangling vertices (one upfront count).  Superseded rank frames
+    are unpersisted as soon as the next round materializes (the GraphX
+    discipline), so a run holds at most two rank frames; the static
+    frames (edges, transitions, vertices, dangling set) land in
+    ``caches_out`` — canonicalize's convention — for callers that run
+    pagerank repeatedly in one session."""
+    def _mat(df):
+        out = materialize_once(df)
+        if caches_out is not None:
+            caches_out.append(out)
+        return out
+
     w = (F.col(weight_col).cast("double") if weight_col
          else F.lit(1.0))
-    e = materialize_once(
+    e = _mat(
         edges.select(F.col(src_col).alias("_s"),
                      F.col(dst_col).alias("_d"), w.alias("_w"))
         .groupBy("_s", "_d").agg(F.sum("_w").alias("_w")))
     out_w = e.groupBy("_s").agg(F.sum("_w").alias("_ow"))
     # normalized edge transition fraction, computed once
-    trans = materialize_once(
+    trans = _mat(
         e.join(out_w, "_s").select(
             "_s", "_d", (F.col("_w") / F.col("_ow")).alias("_frac")))
-    verts = materialize_once(
+    verts = _mat(
         e.select(F.col("_s").alias("node"))
         .union(e.select(F.col("_d").alias("node"))).distinct())
     n = verts.count()
     if n == 0:
         return verts.select("node", F.lit(1.0).alias("rank"))
     # dangling-node set, materialized once: the per-round dangling
-    # probe must not re-aggregate out-weights over the edge frame
-    dangling_nodes = materialize_once(
+    # term must not re-aggregate out-weights over the edge frame
+    dangling_nodes = _mat(
         verts.join(out_w.select(F.col("_s").alias("node")),
                    "node", "left_anti"))
+    any_dangling = dangling_nodes.count() > 0
 
     ranks = materialize_once(
         verts.select("node", F.lit(1.0 / n).alias("rank")))
     for _ in range(iterations):
-        dangling = (ranks.join(dangling_nodes, "node", "left_semi")
-                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                    .collect()[0][0])  # one scalar per round, tiny agg
+        if any_dangling:
+            dangling_mass = (ranks.join(dangling_nodes, "node",
+                                        "left_semi")
+                             .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                                  .alias("_dm")))
+            base = (F.lit((1.0 - damping) / n)
+                    + F.lit(damping / n) * F.col("_dm"))
+        else:
+            base = F.lit((1.0 - damping) / n)
         contribs = (ranks.join(trans, ranks["node"] == trans["_s"])
                     .groupBy(F.col("_d").alias("node"))
                     .agg(F.sum(F.col("rank") * F.col("_frac"))
                          .alias("_c")))
-        base = (1.0 - damping) / n + damping * dangling / n
+        nxt = verts.join(contribs, "node", "left")
+        if any_dangling:
+            nxt = nxt.crossJoin(F.broadcast(dangling_mass))
+        prev = ranks
         ranks = materialize_once(
-            verts.join(contribs, "node", "left")
-            .select("node",
-                    (F.lit(base)
-                     + F.lit(damping) * F.coalesce(F.col("_c"),
-                                                   F.lit(0.0)))
-                    .alias("rank")))
+            nxt.select("node",
+                       (base + F.lit(damping)
+                        * F.coalesce(F.col("_c"), F.lit(0.0)))
+                       .alias("rank")))
+        prev.unpersist()
     return ranks
 
 

@@ -643,8 +643,11 @@ def incremental_link(new_mentions: DataFrame, existing_map: DataFrame,
     Known divergence from a full batch recompute (standard for
     incremental linking): attachment is per-norm greedy, so evidence
     in the new batch that two EXISTING nodes are the same entity does
-    not merge them — cluster-level merges are deferred to the next
-    full canonicalize().  ``metrics_out`` receives n_exact / n_attached
+    not merge them, and transitive attach chains are followed for at
+    most TWO hops (a norm near-dup only of a same-increment attached
+    norm still attaches; longer chains mint fresh ids) — cluster-level
+    merges and longer chains are deferred to the next full
+    canonicalize().  ``metrics_out`` receives n_exact / n_attached
     / n_novel plus ``dropped_bands_attach`` (hot existing-map bands the
     cap excluded — near-dups of those entities mint fresh ids instead
     of attaching, so the drift is observable, never silent;
@@ -704,6 +707,28 @@ def incremental_link(new_mentions: DataFrame, existing_map: DataFrame,
                >= F.lit(jaccard_threshold))
         .join(existing_map.withColumnRenamed("norm", "_old"), "_old")
         .groupBy("norm").agg(F.min("node_id").alias("node_id")))
+
+    # SECOND attach hop: a norm whose only near-dup link is to a norm
+    # attached in THIS increment would otherwise fall through to the
+    # novel tier and mint a fresh id (a silent one-hop transitive
+    # divergence from the batch result).  b_new already holds bands
+    # for every unknown norm, so the hop is a self-join of the
+    # existing frame filtered two ways — no new signature work.
+    # Chains longer than two hops remain deferred to the next full
+    # canonicalize (see Known divergence) and land in n_novel.
+    b_att = (b_new.join(attached.select("norm", "node_id"), "norm")
+             .select("band_key", F.col("norm").alias("_via"),
+                     "node_id"))
+    hop2 = _mat(
+        b_new.join(attached, "norm", "left_anti")
+        .join(b_att, "band_key")
+        .select("norm", "_via", "node_id").distinct()
+        .where(_char3_jaccard("norm", "_via")
+               >= F.lit(jaccard_threshold))
+        .groupBy("norm").agg(F.min("node_id").alias("node_id")))
+    attached = _mat(attached.unionByName(hop2))
+    if metrics_out is not None:
+        metrics_out["n_attached_hop2"] = hop2.count()
 
     novel = _mat(unknown.join(attached, "norm", "left_anti"))
     pairs = lsh_candidate_pairs(novel, num_hashes=num_hashes,

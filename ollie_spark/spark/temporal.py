@@ -23,6 +23,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 SESSION_GAP_MINUTES = 30  # the classic web-analytics session gap
+TUMBLING_WINDOW_MINUTES = 60   # q41 default; oracles derive from these
+HOPPING_SLIDE_MINUTES = 30     # q42 slide (window = 2 * slide)
 
 def epoch_us(col: str | Column) -> Column:
     """Wall-clock epoch microseconds of a TIMESTAMP_NTZ column —
@@ -115,7 +117,8 @@ def session_stats(events: DataFrame, user_col: str = "user_id",
 def tumbling_rollup(events: DataFrame, ts_col: str = "ts",
                     key_col: str = "event_type",
                     value_col: str = "value",
-                    window_minutes: int = 60) -> DataFrame:
+                    window_minutes: int = TUMBLING_WINDOW_MINUTES
+                    ) -> DataFrame:
     """Fixed (tumbling) event-time windows per key: Spark's native
     ``window()`` — epoch-aligned on the NTZ wall clock, so the bucket
     start is exactly ``floor(epoch_us / width) * width``; pure
@@ -130,8 +133,9 @@ def tumbling_rollup(events: DataFrame, ts_col: str = "ts",
 def hopping_rollup(events: DataFrame, ts_col: str = "ts",
                    key_col: str = "event_type",
                    value_col: str = "value",
-                   window_minutes: int = 60,
-                   slide_minutes: int = 30) -> DataFrame:
+                   window_minutes: int = 2 * HOPPING_SLIDE_MINUTES,
+                   slide_minutes: int = HOPPING_SLIDE_MINUTES
+                   ) -> DataFrame:
     """Hopping (sliding) event-time windows: each event lands in
     ``window/slide`` overlapping buckets — Spark expands them with an
     internal explode BEFORE the aggregation, so the shuffle carries

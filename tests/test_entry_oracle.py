@@ -34,8 +34,12 @@ def _norm(v):
 
 
 def _rows_to_set(cols, rows):
+    """None-safe sort (same key as assert_frame_matches_oracle): a
+    nullable column that happens to sort before the unique key column
+    must produce a value diff, not a NoneType '<' TypeError."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    return sorted((tuple(_norm(r[i]) for i in order) for r in rows),
+                  key=lambda t: tuple((x is None, str(x)) for x in t))
 
 
 def assert_frame_matches_oracle(sdf, con, sql, name=""):

@@ -22,10 +22,12 @@ EDGES = [
 ]
 
 
-def _model(iters, d=PAGERANK_DAMPING):
-    """Independent dict-based power iteration (same float spelling)."""
+def _model(iters, d=PAGERANK_DAMPING, edges=EDGES):
+    """Independent dict-based power iteration (same float spelling) —
+    the ONE reference model, shared by the crafted-graph test and the
+    real-KG end-to-end test (two copies could pin different semantics)."""
     w = {}
-    for s, t, wt in EDGES:
+    for s, t, wt in edges:
         w[(s, t)] = w.get((s, t), 0.0) + wt
     out = {}
     for (s, _t), wt in w.items():
@@ -105,22 +107,7 @@ def test_kg_pagerank_matches_model_on_real_kg(spark):
     got = {r.node: r.rank
            for r in em.queries()["kg_pagerank"](spark, sfd).collect()}
 
-    w, out = {}, {}
-    for s, t, wt in edges:
-        w[(s, t)] = w.get((s, t), 0.0) + wt
-    for (s, _t), wt in w.items():
-        out[s] = out.get(s, 0.0) + wt
-    verts = sorted({v for e in w for v in e})
-    n = len(verts)
-    d = PAGERANK_DAMPING
-    r = {v: 1.0 / n for v in verts}
-    for _ in range(PAGERANK_ITERATIONS):
-        dangling = sum(r[v] for v in verts if v not in out)
-        base = (1.0 - d) / n + d * dangling / n
-        nxt = {v: base for v in verts}
-        for (s, t), wt in w.items():
-            nxt[t] += d * r[s] * (wt / out[s])
-        r = nxt
+    r = _model(PAGERANK_ITERATIONS, edges=edges)
     assert set(got) == set(r)
     for v, rv in r.items():
         assert got[v] == pytest.approx(round(rv, 6), abs=2e-6), v

@@ -510,3 +510,25 @@ def test_incremental_link_attach_drops_are_counted(spark):
     assert len(caches) >= 5
     for c in caches:
         c.unpersist()
+
+
+def test_incremental_link_attaches_through_same_increment_hop(spark):
+    """A norm whose only near-dup link is to a norm ATTACHED in the
+    same increment must still reach the existing node (two-hop
+    attach): old='abcdefghij' (8 grams), new1 adds 5 chars (jaccard
+    vs old 8/13 = 0.61 -> direct attach), new2 adds 10 (vs old 8/18 =
+    0.44 FAILS, vs new1 13/18 = 0.72 -> hop-2 attach)."""
+    from ollie_spark.spark.linking import incremental_link
+
+    existing = spark.createDataFrame(
+        [("abcdefghij", "nX")], "norm string, node_id string")
+    batch = _mention_frame(spark, [
+        ("abcdefghijklmno", "r", "Other"),
+        ("abcdefghijklmnopqrst", "r", "Other2")])
+    mo = {}
+    _, delta = incremental_link(batch, existing, metrics_out=mo)
+    dm = {r.norm: r.node_id for r in delta.collect()}
+    assert dm["abcdefghijklmno"] == "nX"
+    assert dm["abcdefghijklmnopqrst"] == "nX"
+    assert mo["n_attached_hop2"] == 1
+    assert mo["n_attached"] == 2  # hop2 rows count as attached
