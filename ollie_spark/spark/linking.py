@@ -195,6 +195,17 @@ def _char3_jaccard(a: str, b: str):
             / F.size(F.array_union(ga, gb)))
 
 
+def band_entities(entities: DataFrame, num_hashes: int = 16,
+                  bands: int = 8) -> DataFrame:
+    """Public (norm, band_key) band frame — the incremental-linking
+    amortization handle: band the canonical map once, keep it
+    persisted across increments, extend it with the delta's bands
+    (`band_entities(delta_map)`) instead of re-banding the whole map
+    per batch.  Delegates to the single shared band construction."""
+    return _lsh_banded(entities.select("norm").distinct(),
+                       num_hashes, bands)
+
+
 def dropped_buckets(entities: DataFrame, num_hashes: int = 16,
                     bands: int = 8, max_bucket: int = 64) -> int:
     """How many LSH buckets the cap skipped (metrics, not silent).
@@ -617,7 +628,8 @@ def incremental_link(new_mentions: DataFrame, existing_map: DataFrame,
                      jaccard_threshold: float = 0.5,
                      max_bucket: int = 64,
                      metrics_out: dict | None = None,
-                     caches_out: list | None = None):
+                     caches_out: list | None = None,
+                     existing_banded: DataFrame | None = None):
     """-> (linked_new_mentions, delta_map): link a NEW mention batch
     against an existing canonical map without re-clustering the whole
     corpus — the daily-update path at 10^12 docs, where a full
@@ -661,11 +673,13 @@ def incremental_link(new_mentions: DataFrame, existing_map: DataFrame,
     checkpoint/persist blocks.
 
     Scale shape: the new batch's norms are the small side everywhere;
-    the existing map is banded once per increment (persist the banded
-    frame across increments to amortize — it is per-distinct-entity,
-    MBs against a 100 TB corpus) and its degenerate bands are capped
-    like the batch path; the final mention join reuses the
-    broadcast/salted switch (_link_join)."""
+    the existing map is banded once per increment — or ZERO times
+    when the caller maintains the banded frame across increments via
+    ``existing_banded`` (seed it with ``band_entities(map)``, extend
+    with ``band_entities(delta_map)`` after each call; it is
+    per-distinct-entity, MBs against a 100 TB corpus) — and its
+    degenerate bands are capped like the batch path; the final
+    mention join reuses the broadcast/salted switch (_link_join)."""
     def _mat(df):
         out = materialize_once(df)
         if caches_out is not None:
@@ -684,10 +698,16 @@ def incremental_link(new_mentions: DataFrame, existing_map: DataFrame,
     b_new = _mat(_lsh_banded(unknown, num_hashes, bands))
     # the map-side band frame is read TWICE (sizes + the kept-join
     # probe) and its minhash pipeline is the dominant blocking cost —
-    # materialize it once per increment (persist it ACROSS increments
-    # to amortize further; it only grows by delta_map rows)
-    b_old = _mat(_lsh_banded(existing_map.select("norm").distinct(),
-                             num_hashes, bands))
+    # materialize it once per increment, or better: pass
+    # ``existing_banded`` (band_entities of the map, maintained by
+    # unioning band_entities(delta_map) after each increment) and the
+    # map is never re-banded at all; a caller-owned frame is NOT
+    # added to caches_out (its lifetime spans increments)
+    if existing_banded is not None:
+        b_old = existing_banded
+    else:
+        b_old = _mat(_lsh_banded(existing_map.select("norm").distinct(),
+                                 num_hashes, bands))
     old_sizes = b_old.groupBy("band_key").agg(
         F.count("*").alias("_bn"))
     if metrics_out is not None:

@@ -158,7 +158,8 @@ def curation_filter_stream(docs_stream: DataFrame,
 
 
 def link_mention_batch(batch_df: DataFrame, batch_id: int,
-                       map_dir: str, linked_dir: str) -> None:
+                       map_dir: str, linked_dir: str,
+                       banded_state: dict | None = None) -> None:
     """One micro-batch of continuous KG maintenance: incrementally
     link ``batch_df`` against the accumulated canonical map and write
     (a) the map DELTA and (b) the linked mentions, each into a
@@ -182,13 +183,37 @@ def link_mention_batch(batch_df: DataFrame, batch_id: int,
     except AnalysisException:
         existing = spark.createDataFrame([], "norm string, node_id string")
     caches = []
+    pre_banded = banded_state.get("banded") if banded_state else None
     linked, delta = incremental_link(batch_df, existing,
-                                     caches_out=caches)
+                                     caches_out=caches,
+                                     existing_banded=pre_banded)
     (delta.withColumn("batch_id", F.lit(batch_id))
      .write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("batch_id").parquet(map_dir))
     write_mention_batch(linked, batch_id, linked_dir)
+    if banded_state is not None:
+        # extend the across-batch banded-map frame BEFORE releasing
+        # this batch's caches (the extension must not depend on the
+        # about-to-be-released delta lineage): next batch links
+        # without re-banding the whole map.  Restart-safe: after a
+        # crash the state is empty and the first batch re-bands the
+        # map it reads (which excludes its own partition), exactly
+        # the un-amortized path.
+        from .linking import band_entities
+        from .materialize import materialize_once
+        prev = banded_state.get("banded")
+        if prev is None:
+            # first batch of this query run: seed from the FULL grown
+            # map (the disk-resident part + this delta) — banding only
+            # the delta would silently drop the restart-read map rows
+            # from every later attach tier
+            grown = band_entities(existing.unionByName(delta))
+        else:
+            grown = prev.unionByName(band_entities(delta))
+        banded_state["banded"] = materialize_once(grown)
+        if prev is not None:
+            prev.unpersist()
     # both outputs are on disk: release this batch's materialized
     # frames so a long-running stream doesn't stack per-batch caches
     for c in caches:
@@ -196,7 +221,8 @@ def link_mention_batch(batch_df: DataFrame, batch_id: int,
 
 
 def stream_link(spark: SparkSession, input_dir: str, schema: str,
-                map_dir: str, linked_dir: str, checkpoint_dir: str):
+                map_dir: str, linked_dir: str, checkpoint_dir: str,
+                max_files_per_trigger: int = 4):
     """Continuous KG maintenance: a mention stream incrementally
     linked against an accumulating canonical map (stream_extract's
     output directory is a valid ``input_dir``).  Per micro-batch the
@@ -205,10 +231,14 @@ def stream_link(spark: SparkSession, input_dir: str, schema: str,
     stream grows; exactly-once = streaming checkpoint + the
     batch_id-partitioned dynamic overwrites (see link_mention_batch).
     Returns the StreamingQuery (caller awaits/stops it)."""
-    ments = (spark.readStream.schema(schema).parquet(input_dir))
+    ments = (spark.readStream.schema(schema)
+             .option("maxFilesPerTrigger", max_files_per_trigger)
+             .parquet(input_dir))
+    banded_state: dict = {}  # across-batch banded-map amortization
 
     def process(batch_df: DataFrame, batch_id: int):
-        link_mention_batch(batch_df, batch_id, map_dir, linked_dir)
+        link_mention_batch(batch_df, batch_id, map_dir, linked_dir,
+                           banded_state=banded_state)
 
     return (ments.writeStream
             .foreachBatch(process)

@@ -532,3 +532,34 @@ def test_incremental_link_attaches_through_same_increment_hop(spark):
     assert dm["abcdefghijklmnopqrst"] == "nX"
     assert mo["n_attached_hop2"] == 1
     assert mo["n_attached"] == 2  # hop2 rows count as attached
+
+
+def test_incremental_link_precomputed_banded_map_is_equivalent(spark):
+    """Passing a caller-maintained band_entities frame (the across-
+    increment amortization) must yield the identical delta map as the
+    re-band-per-increment path, and the extend recipe
+    (band_entities(map) ∪ band_entities(delta)) must equal a fresh
+    banding of the grown map."""
+    from ollie_spark.spark.linking import band_entities, incremental_link
+    from ollie_spark.spark.materialize import materialize_once
+
+    existing = spark.createDataFrame(
+        [("barack obama", "nA"), ("acme corporation", "nB")],
+        "norm string, node_id string")
+    batch = _mention_frame(spark, [
+        ("Barack H Obama", "met", "Quantum Widget")])
+    _, d_fresh = incremental_link(batch, existing)
+    banded = materialize_once(band_entities(existing))
+    _, d_pre = incremental_link(batch, existing,
+                                existing_banded=banded)
+    fresh = {(r.norm, r.node_id) for r in d_fresh.collect()}
+    pre = {(r.norm, r.node_id) for r in d_pre.collect()}
+    assert fresh == pre and fresh
+
+    # extend recipe == fresh banding of the union map
+    grown = existing.unionByName(d_pre.select("norm", "node_id"))
+    ext = banded.unionByName(band_entities(d_pre))
+    a = {(r.norm, r.band_key) for r in band_entities(grown).collect()}
+    b = {(r.norm, r.band_key) for r in ext.collect()}
+    assert a == b
+    banded.unpersist()

@@ -357,3 +357,30 @@ def test_stream_link_accumulates_stable_ids(spark, tmp_path):
                               spark.read.parquet(linked_dir).collect()))
     assert after_map == before_map
     assert after_linked == before_linked
+
+
+def test_stream_link_amortized_banding_within_one_run(spark, tmp_path):
+    """Two micro-batches in ONE query run: the second batch's attach
+    tier reads the banded-map frame maintained across batches (the
+    within-run amortization), so a near-dup of a batch-1 entity must
+    still reach the batch-1 node id without re-banding the map."""
+    from ollie_spark.spark.streaming import stream_link
+
+    schema = ("arg1_text string, rel_text string, arg2_text string, "
+              "conf double")
+    in_dir, map_dir = str(tmp_path / "in"), str(tmp_path / "map")
+    linked_dir, ckpt = str(tmp_path / "linked"), str(tmp_path / "ckpt")
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+
+    feed([("Barack Obama", "visited", "Chicago", 0.9)])
+    feed([("Barack H Obama", "met", "Angela Merkel", 0.9)])
+    q = stream_link(spark, in_dir, schema, map_dir, linked_dir, ckpt,
+                    max_files_per_trigger=1)
+    q.awaitTermination()
+    mp = spark.read.parquet(map_dir)
+    assert mp.select("batch_id").distinct().count() == 2  # 2 batches
+    m = {r.norm: r.node_id for r in mp.collect()}
+    assert m["barack h obama"] == m["barack obama"]  # attached via state
