@@ -563,3 +563,48 @@ def test_incremental_link_precomputed_banded_map_is_equivalent(spark):
     b = {(r.norm, r.band_key) for r in ext.collect()}
     assert a == b
     banded.unpersist()
+
+
+def test_incremental_link_randomized_stability_properties(spark):
+    """Seeded randomized property check over near-dup entity families:
+    (1) every new-batch norm resolves to exactly one node; (2) the
+    delta never touches an existing norm; (3) exact hits reuse the
+    existing id; (4) the whole resolution is content-deterministic
+    (two runs, identical delta) — the property stream_link's replay
+    idempotence rests on."""
+    import random
+
+    from ollie_spark.spark.linking import incremental_link
+
+    rng = random.Random(2719)
+    bases = [f"entity {rng.randrange(10**6)} corp" for _ in range(30)]
+    variants = [b + s for b in bases
+                for s in ("", " inc", "oration", " x")]
+    rng.shuffle(variants)
+    a_surf, b_surf = variants[:60], variants[60:]
+    batch_a = _mention_frame(
+        spark, [(s, "rel", "obj") for s in a_surf])
+    batch_b = _mention_frame(
+        spark, [(s, "rel", "obj") for s in b_surf])
+
+    from ollie_spark.spark.linking import canonicalize
+    _, nodes_a, _ = canonicalize(batch_a)
+    emap = nodes_a.select(F.explode("aliases").alias("norm"), "node_id")
+    old = {r.norm: r.node_id for r in emap.collect()}
+
+    linked, delta = incremental_link(batch_b, emap)
+    dm = {r.norm: r.node_id for r in delta.collect()}
+    rows = linked.collect()
+
+    assert set(dm) & set(old) == set()                       # (2)
+    full = {**old, **dm}
+    for r in rows:                                           # (1)+(3)
+        norm = r.arg1_text.lower().strip()
+        assert r.arg1_node == full[norm], norm
+    b_norms = {r[0].lower().strip()
+               for r in batch_b.select("arg1_text").collect()}
+    assert b_norms <= set(full)                              # coverage
+
+    _, delta2 = incremental_link(batch_b, emap)
+    dm2 = {r.norm: r.node_id for r in delta2.collect()}
+    assert dm2 == dm                                         # (4)
