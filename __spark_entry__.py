@@ -772,6 +772,21 @@ def kg_pagerank(spark, sf_dir):
             .orderBy(F.desc("rank"), "node"))
 
 
+def kg_training_pairs(spark, sf_dir):
+    """KG-embedding training pairs
+    (ollie_spark.spark.graph_analytics.kg_training_pairs): every
+    positive triple of the constructed KG plus one deterministic
+    md5-bucket corrupted negative, with corruptions colliding with a
+    true triple FILTERED (false negatives poison embedding training).
+    No driver SQL oracle (edges aren't a driver table), but the whole
+    corruption is recomputed end-to-end in DuckDB over dumped triples
+    in tests/test_graph_analytics.py (exact equality)."""
+    from ollie_spark.spark.graph_analytics import \
+        kg_training_pairs as _pairs
+    return (_pairs(kg_graph_edges(spark, sf_dir))
+            .orderBy("label", "src", "rel", "dst"))
+
+
 def kg_media_features(spark, sf_dir):
     """Multimodal plumbing: media spans -> decode (deterministic stub)
     -> typed metadata + embeddings -> ANN cells."""
@@ -886,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_extract_mentions": kg_extract_mentions,
         "kg_graph_edges": kg_graph_edges,
         "kg_pagerank": kg_pagerank,
+        "kg_training_pairs": kg_training_pairs,
         "kg_media_features": kg_media_features,
         "kg_nary": kg_nary,
         "kg_serialized_roundtrip": kg_serialized_roundtrip,

@@ -112,6 +112,50 @@ def pagerank(edges: DataFrame, src_col: str = "src_node",
     return ranks
 
 
+def kg_training_pairs(edges: DataFrame, src_col: str = "src_node",
+                      rel_col: str = "rel", dst_col: str = "dst_node",
+                      bucket_hex: int = 1) -> DataFrame:
+    """(src, rel, dst, label) training pairs for KG-embedding models
+    (TransE-style): every distinct positive triple plus one FILTERED
+    corrupted negative — the destination replaced by a pseudo-random
+    node, with corruptions that collide with a true triple dropped
+    (false negatives poison embedding training).
+
+    Fully deterministic and cross-engine recomputable: the corruption
+    is md5-keyed, never an RNG.  Each triple hashes to one of 16^
+    ``bucket_hex`` md5-prefix node buckets and takes the bucket node
+    minimizing md5(node || triple-hash) — so the candidate join costs
+    |triples| x |nodes| / 16^bucket_hex, never a cross join and never
+    a globally indexed node table (row_number over nodes would be a
+    SinglePartition sort).  Raise ``bucket_hex`` as the node count
+    grows (16^3 buckets keeps the factor ~|nodes|/4096 at web scale;
+    the default 1 suits small graphs where wider prefixes would leave
+    empty buckets and triples without negatives — triples whose
+    bucket is empty yield no negative row, they do not error)."""
+    sep = F.lit("\x1f")
+    pos = (edges.select(F.col(src_col).alias("src"),
+                        F.col(rel_col).alias("rel"),
+                        F.col(dst_col).alias("dst")).distinct())
+    nodes = (pos.select(F.col("src").alias("node"))
+             .union(pos.select(F.col("dst").alias("node"))).distinct()
+             .withColumn("_b", F.substring(F.md5("node"),
+                                           1, bucket_hex)))
+    tb = (pos.withColumn(
+        "_th", F.md5(F.concat_ws("\x1f", "src", "rel", "dst")))
+        .withColumn("_b", F.substring("_th", 1, bucket_hex)))
+    neg = (tb.join(nodes, "_b")
+           .groupBy("src", "rel", "dst", "_th")
+           .agg(F.min_by("node",
+                         F.md5(F.concat(F.col("node"), sep,
+                                        F.col("_th"))))
+                .alias("neg_dst"))
+           .select("src", "rel", F.col("neg_dst").alias("dst"))
+           .join(pos, ["src", "rel", "dst"], "left_anti"))
+    return (pos.withColumn("label", F.lit(1).cast("int"))
+            .unionByName(neg.withColumn("label",
+                                        F.lit(0).cast("int"))))
+
+
 def degree_stats(edges: DataFrame, src_col: str = "src_node",
                  dst_col: str = "dst_node") -> DataFrame:
     """Per-node in/out degree (parallel edges counted) — one pass per

@@ -119,3 +119,65 @@ def test_pagerank_empty_edges_returns_empty_frame(spark):
     out = pagerank(empty, iterations=3)
     assert out.columns == ["node", "rank"]
     assert out.count() == 0
+
+
+def test_kg_training_pairs_match_duckdb_recompute(spark, tmp_path):
+    """The deterministic md5-bucket corruption recomputed end-to-end
+    in DuckDB over the dumped positive triples must reproduce the
+    Spark pairs exactly (bucket assignment, arg-min pick, and the
+    false-negative filter), on the real constructed KG."""
+    import duckdb
+
+    import __spark_entry__ as em
+    from ollie_spark.spark.graph_analytics import kg_training_pairs
+
+    edges = em.kg_graph_edges(spark, "/root/testdata/sf0.001")
+    got = sorted(map(tuple, kg_training_pairs(edges).collect()))
+    assert got, "no pairs — vacuous"
+    n_pos = sum(1 for r in got if r[3] == 1)
+    n_neg = len(got) - n_pos
+    assert 0 < n_neg <= n_pos
+
+    pq = str(tmp_path / "pos.parquet")
+    edges.select("src_node", "rel", "dst_node").distinct() \
+        .write.parquet(pq)
+    con = duckdb.connect()
+    want = sorted(con.execute(f"""
+        WITH pos AS (SELECT DISTINCT src_node AS src, rel,
+                            dst_node AS dst FROM '{pq}/*.parquet'),
+        nodes AS (SELECT node, substr(md5(node), 1, 1) AS b FROM (
+            SELECT src AS node FROM pos
+            UNION SELECT dst FROM pos)),
+        tb AS (SELECT src, rel, dst,
+                      md5(src || chr(31) || rel || chr(31) || dst)
+                          AS th FROM pos),
+        neg0 AS (SELECT t.src, t.rel, t.th,
+                        arg_min(n.node, md5(n.node || chr(31) || t.th))
+                            AS neg
+                 FROM tb t JOIN nodes n ON substr(t.th, 1, 1) = n.b
+                 GROUP BY t.src, t.rel, t.dst, t.th),
+        neg AS (SELECT n0.src, n0.rel, n0.neg AS dst FROM neg0 n0
+                WHERE NOT EXISTS (SELECT 1 FROM pos p
+                                  WHERE p.src = n0.src
+                                    AND p.rel = n0.rel
+                                    AND p.dst = n0.neg))
+        SELECT src, rel, dst, CAST(1 AS INT) AS label FROM pos
+        UNION ALL
+        SELECT src, rel, dst, CAST(0 AS INT) FROM neg""").fetchall())
+    assert got == want
+
+
+def test_kg_training_pairs_negatives_are_filtered_and_deterministic(spark):
+    edges = spark.createDataFrame(
+        [("a", "r", "b", 1.0), ("a", "r", "c", 1.0),
+         ("b", "r", "c", 1.0)],
+        "src_node string, rel string, dst_node string, weight double")
+    from ollie_spark.spark.graph_analytics import kg_training_pairs
+    p1 = sorted(map(tuple, kg_training_pairs(edges).collect()))
+    p2 = sorted(map(tuple, kg_training_pairs(edges).collect()))
+    assert p1 == p2                                  # deterministic
+    pos = {(s, r, d) for s, r, d, lb in p1 if lb == 1}
+    negs = [(s, r, d) for s, r, d, lb in p1 if lb == 0]
+    assert pos == {("a", "r", "b"), ("a", "r", "c"), ("b", "r", "c")}
+    for t in negs:                                   # filtered
+        assert t not in pos
