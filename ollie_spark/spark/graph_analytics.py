@@ -114,7 +114,8 @@ def pagerank(edges: DataFrame, src_col: str = "src_node",
 
 def kg_training_pairs(edges: DataFrame, src_col: str = "src_node",
                       rel_col: str = "rel", dst_col: str = "dst_node",
-                      bucket_hex: int = 1) -> DataFrame:
+                      bucket_hex: int = 1,
+                      caches_out: list | None = None) -> DataFrame:
     """(src, rel, dst, label) training pairs for KG-embedding models
     (TransE-style): every distinct positive triple plus one FILTERED
     corrupted negative — the destination replaced by a pseudo-random
@@ -133,15 +134,26 @@ def kg_training_pairs(edges: DataFrame, src_col: str = "src_node",
     empty buckets and triples without negatives — triples whose
     bucket is empty yield no negative row, they do not error)."""
     sep = F.lit("\x1f")
-    pos = (edges.select(F.col(src_col).alias("src"),
-                        F.col(rel_col).alias("rel"),
-                        F.col(dst_col).alias("dst")).distinct())
+    # pos feeds FIVE consumers (both node projections, the triple
+    # hash, the anti-join, the final union) — materialize it once or
+    # the edge-producing pipeline re-evaluates per consumer
+    pos = materialize_once(
+        edges.select(F.col(src_col).alias("src"),
+                     F.col(rel_col).alias("rel"),
+                     F.col(dst_col).alias("dst")).distinct())
+    if caches_out is not None:
+        caches_out.append(pos)
     nodes = (pos.select(F.col("src").alias("node"))
              .union(pos.select(F.col("dst").alias("node"))).distinct()
              .withColumn("_b", F.substring(F.md5("node"),
                                            1, bucket_hex)))
+    # F.concat, NOT concat_ws: concat_ws silently SKIPS null fields
+    # where the DuckDB recompute's `||` propagates NULL — concat
+    # matches the oracle (a null-field triple hashes to NULL, joins
+    # nothing, and yields no negative, identically in both engines)
     tb = (pos.withColumn(
-        "_th", F.md5(F.concat_ws("\x1f", "src", "rel", "dst")))
+        "_th", F.md5(F.concat(F.col("src"), sep, F.col("rel"), sep,
+                              F.col("dst"))))
         .withColumn("_b", F.substring("_th", 1, bucket_hex)))
     neg = (tb.join(nodes, "_b")
            .groupBy("src", "rel", "dst", "_th")

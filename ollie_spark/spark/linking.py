@@ -704,6 +704,24 @@ def incremental_link(new_mentions: DataFrame, existing_map: DataFrame,
     # map is never re-banded at all; a caller-owned frame is NOT
     # added to caches_out (its lifetime spans increments)
     if existing_banded is not None:
+        # guard against a frame built with DIFFERENT (num_hashes,
+        # bands) or one that doesn't cover the map: band keys would
+        # never collide, every near-dup would silently mint a fresh
+        # id, and n_attached=0 looks healthy.  Probe ONE map norm:
+        # its freshly-computed band keys must all appear for it in
+        # the provided frame.  (Tiny job: `bands` keys semi-joined
+        # against the caller's materialized frame.)
+        sample = existing_map.select("norm").limit(1)
+        expect = _lsh_banded(sample, num_hashes, bands)
+        hits = (expect.join(existing_banded, ["norm", "band_key"],
+                            "left_semi").count())
+        if hits != expect.count():
+            raise ValueError(
+                "existing_banded does not match existing_map under "
+                f"(num_hashes={num_hashes}, bands={bands}): probe "
+                f"norm matched {hits}/{bands} band keys — rebuild it "
+                "with band_entities(existing_map) using the SAME "
+                "parameters")
         b_old = existing_banded
     else:
         b_old = _mat(_lsh_banded(existing_map.select("norm").distinct(),

@@ -174,7 +174,7 @@ def link_mention_batch(batch_df: DataFrame, batch_id: int,
     the object-store-safe spelling from materialize.StageWriter."""
     from pyspark.errors import AnalysisException
 
-    from .linking import incremental_link
+    from .linking import band_entities, incremental_link
     spark = batch_df.sparkSession
     try:
         existing = (spark.read.parquet(map_dir)
@@ -184,6 +184,17 @@ def link_mention_batch(batch_df: DataFrame, batch_id: int,
         existing = spark.createDataFrame([], "norm string, node_id string")
     caches = []
     pre_banded = banded_state.get("banded") if banded_state else None
+    if banded_state is not None and pre_banded is None:
+        # seed the across-batch band frame ONCE, before the link call
+        # (incremental_link then skips its own banding of the map —
+        # seeding after the call would band the same map twice).
+        # localCheckpoint, not persist: the frame is extended
+        # iteratively batch over batch, so its lineage must be
+        # TRUNCATED or the plan grows per batch and a lost block
+        # recomputes through every previous batch (the CC iterative
+        # rule; reliable cluster spelling is .checkpoint())
+        pre_banded = band_entities(existing).localCheckpoint()
+        banded_state["banded"] = pre_banded
     linked, delta = incremental_link(batch_df, existing,
                                      caches_out=caches,
                                      existing_banded=pre_banded)
@@ -193,27 +204,18 @@ def link_mention_batch(batch_df: DataFrame, batch_id: int,
      .partitionBy("batch_id").parquet(map_dir))
     write_mention_batch(linked, batch_id, linked_dir)
     if banded_state is not None:
-        # extend the across-batch banded-map frame BEFORE releasing
-        # this batch's caches (the extension must not depend on the
+        # extend the across-batch band frame BEFORE releasing this
+        # batch's caches (the extension must not depend on the
         # about-to-be-released delta lineage): next batch links
-        # without re-banding the whole map.  Restart-safe: after a
-        # crash the state is empty and the first batch re-bands the
-        # map it reads (which excludes its own partition), exactly
-        # the un-amortized path.
-        from .linking import band_entities
-        from .materialize import materialize_once
-        prev = banded_state.get("banded")
-        if prev is None:
-            # first batch of this query run: seed from the FULL grown
-            # map (the disk-resident part + this delta) — banding only
-            # the delta would silently drop the restart-read map rows
-            # from every later attach tier
-            grown = band_entities(existing.unionByName(delta))
-        else:
-            grown = prev.unionByName(band_entities(delta))
-        banded_state["banded"] = materialize_once(grown)
-        if prev is not None:
-            prev.unpersist()
+        # without re-banding the whole map.  localCheckpoint per
+        # extension keeps the iterative lineage TRUNCATED (see the
+        # seed comment above); restart-safe — after a crash the state
+        # is empty and the next first batch re-seeds from the map it
+        # reads, which excludes its own partition.
+        prev = banded_state["banded"]
+        banded_state["banded"] = (
+            prev.unionByName(band_entities(delta)).localCheckpoint())
+        prev.unpersist()
     # both outputs are on disk: release this batch's materialized
     # frames so a long-running stream doesn't stack per-batch caches
     for c in caches:

@@ -384,3 +384,45 @@ def test_stream_link_amortized_banding_within_one_run(spark, tmp_path):
     assert mp.select("batch_id").distinct().count() == 2  # 2 batches
     m = {r.norm: r.node_id for r in mp.collect()}
     assert m["barack h obama"] == m["barack obama"]  # attached via state
+
+
+def test_link_mention_batch_actually_uses_banded_state(spark, tmp_path):
+    """Negative control: seed the state with a band frame for a
+    DIFFERENT map — if the implementation silently fell back to
+    re-banding the real map, the near-dup would attach; with the
+    provided (mismatched-coverage) frame the attach tier must miss.
+    This is what pins that the amortization is USED, not just that
+    its output is correct."""
+    from ollie_spark.spark.linking import band_entities
+    from ollie_spark.spark.streaming import link_mention_batch
+
+    schema = ("arg1_text string, rel_text string, arg2_text string, "
+              "conf double")
+    map_dir, linked_dir = str(tmp_path / "map"), str(tmp_path / "lk")
+    b0 = spark.createDataFrame(
+        [("Barack Obama", "visited", "Chicago", 0.9)], schema)
+    state = {}
+    link_mention_batch(b0, 0, map_dir, linked_dir, banded_state=state)
+    assert "banded" in state and state["banded"].count() > 0
+    m0 = {r.norm: r.node_id
+          for r in spark.read.parquet(map_dir).collect()}
+
+    # batch 1 with the REAL state: near-dup attaches
+    b1 = spark.createDataFrame(
+        [("Barack H Obama", "met", "Someone Else", 0.9)], schema)
+    link_mention_batch(b1, 1, map_dir, linked_dir,
+                       banded_state=dict(state))
+    m1 = {r.norm: r.node_id
+          for r in spark.read.parquet(map_dir).collect()}
+    assert m1["barack h obama"] == m0["barack obama"]
+
+    # batch 1 REPLAYED with a decoy state banded from an unrelated
+    # map: the attach tier reads only the provided frame, so the
+    # near-dup must NOT attach (fresh id) — proving no silent re-band
+    decoy_map = spark.createDataFrame(
+        [("zzz unrelated", "nZ")], "norm string, node_id string")
+    decoy = {"banded": band_entities(decoy_map).localCheckpoint()}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="existing_banded"):
+        link_mention_batch(b1, 1, map_dir, linked_dir,
+                           banded_state=decoy)
