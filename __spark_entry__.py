@@ -614,6 +614,35 @@ def q48_rolling_daily(spark, sf_dir):
         .orderBy("user_id", "day"))
 
 
+def q49_rate_anomalies(spark, sf_dir):
+    """Event-rate anomaly detection (the monitoring pass over an
+    ingest feed): hourly event counts per type z-scored against the
+    TRAILING 24 hours (RANGE frame, current hour excluded — a ROWS
+    frame would silently shrink the baseline across gaps); hours with
+    fewer than 12 baseline hours emit NULL z (insufficient history),
+    as does a zero-variance baseline — both spelled identically in
+    the oracle so the three-valued logic is cross-engine checked."""
+    from ollie_spark.spark.temporal import epoch_us
+    hour_us = 3_600_000_000
+    ev = _t(spark, sf_dir, "events")
+    hourly = (ev.select("event_type",
+                        (epoch_us("ts") / hour_us).cast("long")
+                        .alias("hr"))
+              .groupBy("event_type", "hr")
+              .agg(F.count("*").alias("n")))
+    w = (Window.partitionBy("event_type").orderBy("hr")
+         .rangeBetween(-24, -1))
+    base_n = F.count("n").over(w)
+    mu = F.avg("n").over(w)
+    sd = F.stddev_samp(F.col("n").cast("double")).over(w)
+    z = F.when((base_n >= 12) & (sd > 0),
+               F.round((F.col("n") - mu) / sd, 6))
+    return (hourly.select("event_type", "hr", "n",
+                          F.round(mu, 6).alias("baseline_mean"),
+                          z.alias("zscore"))
+            .orderBy("event_type", "hr"))
+
+
 def q47_data_quality(spark, sf_dir):
     """Constraint-battery data validation (the Deequ-style gate a
     pipeline runs before promoting a table): per-check violation
@@ -898,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_conversion_funnel": q46_conversion_funnel,
         "q47_data_quality": q47_data_quality,
         "q48_rolling_daily": q48_rolling_daily,
+        "q49_rate_anomalies": q49_rate_anomalies,
         "kg_extract_mentions": kg_extract_mentions,
         "kg_graph_edges": kg_graph_edges,
         "kg_pagerank": kg_pagerank,
@@ -1795,4 +1825,24 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY day
                          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
             ORDER BY user_id, day""",
+        # identical trailing-24h RANGE frame, current hour excluded;
+        # the NULL rules (insufficient history, zero variance) are
+        # spelled the same so three-valued logic is cross-checked
+        "q49_rate_anomalies": """
+            WITH hourly AS (
+                SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                       COUNT(*) AS n
+                FROM events GROUP BY event_type, hr)
+            SELECT event_type, hr, n,
+                   ROUND(AVG(n) OVER w, 6) AS baseline_mean,
+                   CASE WHEN COUNT(n) OVER w >= 12
+                          AND STDDEV_SAMP(CAST(n AS DOUBLE)) OVER w > 0
+                        THEN ROUND((n - AVG(n) OVER w)
+                                   / STDDEV_SAMP(CAST(n AS DOUBLE))
+                                     OVER w, 6)
+                   END AS zscore
+            FROM hourly
+            WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                         RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)
+            ORDER BY event_type, hr""",
     }

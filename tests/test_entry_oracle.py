@@ -482,3 +482,43 @@ def test_q48_rolling_range_ages_out_gaps(spark, tmp_path):
     assert got == [(0, 1, 10.0), (1, 2, 30.0),
                    (10, 1, 40.0),            # days 0-1 aged out
                    (16, 2, 120.0)]           # day 10 still in [10..16]
+
+
+def test_q49_anomaly_flags_planted_spike(spark, tmp_path):
+    """The generated feed is steady (z near 0), so plant a spike: 30
+    alternating-rate hours of history then a 60-event hour must carry
+    a large positive z; a type with <12 history hours stays NULL, and
+    the all-constant baseline case is NULL by the zero-variance rule."""
+    import datetime as dt
+
+    import __spark_entry__ as em
+
+    T = dt.datetime(2024, 4, 1)
+    rows, eid = [], 0
+
+    def add(typ, hour, count):
+        nonlocal eid
+        for k in range(count):
+            rows.append((eid, T + dt.timedelta(hours=hour, seconds=k),
+                         1, typ, 1.0, "{}"))
+            eid += 1
+    for h in range(30):
+        add("spiky", h, 1 if h % 2 else 3)   # varying baseline
+        add("flat", h, 2)                    # constant -> sd == 0
+    add("spiky", 30, 60)                     # the anomaly
+    for h in range(5):
+        add("young", h, 5)                   # < 12 history hours
+    (spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+     .write.parquet(str(tmp_path / "events.parquet")))
+    hr0 = (T - dt.datetime(1970, 1, 1)) // dt.timedelta(hours=1)
+    got = {(r.event_type, r.hr - hr0): (r.n, r.zscore)
+           for r in em.queries()["q49_rate_anomalies"](
+               spark, str(tmp_path)).collect()}
+    n, z = got[("spiky", 30)]
+    assert n == 60 and z is not None and z > 10
+    assert all(zz is None for (t, _h), (_n, zz) in got.items()
+               if t in ("flat", "young"))
+    # early spiky hours (insufficient history) are NULL too
+    assert got[("spiky", 3)][1] is None
