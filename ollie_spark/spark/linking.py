@@ -154,13 +154,28 @@ def lsh_candidate_pairs(entities: DataFrame, num_hashes: int = 16,
     sizes = banded.groupBy("band_key").agg(
         F.count("*").alias("bucket_n"))
     if metrics_out is not None:
-        # sizes is one row per band_key: this IS the distinct count
-        metrics_out["dropped_buckets"] = (
-            sizes.where(F.col("bucket_n") > max_bucket).count())
-    kept = materialize_once(
-        banded.join(sizes.where(F.col("bucket_n") <= max_bucket),
-                    "band_key")
-        .drop("bucket_n"))
+        # the metric probe already pays the sizing agg — materialize it
+        # so the kept-filter join below reads the stored sizes instead
+        # of re-running the full agg (one shuffle pass, not two), and
+        # r7: when NO bucket exceeds the cap the filter join is an
+        # identity — skip the join and its materialization barrier
+        # outright and self-join the banded frame directly (pure win at
+        # any scale; the capped path is untouched).
+        sizes = materialize_once(sizes)
+        dropped = sizes.where(F.col("bucket_n") > max_bucket).count()
+        metrics_out["dropped_buckets"] = dropped
+        if dropped == 0:
+            kept = banded
+        else:
+            kept = materialize_once(
+                banded.join(sizes.where(F.col("bucket_n") <= max_bucket),
+                            "band_key")
+                .drop("bucket_n"))
+    else:
+        kept = materialize_once(
+            banded.join(sizes.where(F.col("bucket_n") <= max_bucket),
+                        "band_key")
+            .drop("bucket_n"))
     a = kept.alias("a")
     b = kept.alias("b")
     pairs = (a.join(b, "band_key")
@@ -301,12 +316,27 @@ def connected_components(pairs: DataFrame, vertices: DataFrame,
     if n_pairs == 0:
         return isolated
     if n_pairs <= local_threshold:
-        # seed parent from EVERY connected vertex, not just endpoints of
-        # src < dst edges: a vertex whose only pair is a self-pair
-        # (norm_a == norm_b) appears in connected_verts (so it is not
-        # `isolated`) yet has no src < dst edge — without the seed it
-        # would get no component row at all.
-        parent = {r.norm: r.norm for r in connected_verts.collect()}
+        # ONE collect serves both the edge list and the vertex seed
+        # (r7: the former separate connected_verts.collect() was a
+        # whole extra job + distinct shuffle per canonicalize call):
+        # src <= dst keeps each undirected edge once AND keeps
+        # self-pairs, whose endpoints are exactly the vertices that
+        # appear in `sym` with no src < dst edge — so seeding parent
+        # from the collected endpoints covers every connected vertex,
+        # the same set connected_verts holds.
+        #
+        # collect off the CHECKPOINTED symmetric set, not the lazy
+        # `pairs` plan — collecting `pairs` would re-run the whole
+        # LSH candidate generation (minhash + band self-join), doubling
+        # the most expensive stage of every canonicalize() call.
+        # Union-find is direction/order-insensitive, so either edge
+        # orientation works.
+        edges_local = (sym.where(F.col("src") <= F.col("dst"))
+                       .select("src", "dst").collect())
+        parent = {}
+        for r in edges_local:
+            parent.setdefault(r.src, r.src)
+            parent.setdefault(r.dst, r.dst)
 
         def find(x):
             while parent[x] != x:
@@ -314,14 +344,7 @@ def connected_components(pairs: DataFrame, vertices: DataFrame,
                 x = parent[x]
             return x
 
-        # collect off the CHECKPOINTED symmetric set, not the lazy
-        # `pairs` plan — collecting `pairs` would re-run the whole
-        # LSH candidate generation (minhash + band self-join), doubling
-        # the most expensive stage of every canonicalize() call.
-        # Union-find is direction/order-insensitive, so either edge
-        # orientation works; take each undirected edge once.
-        for r in (sym.where(F.col("src") < F.col("dst"))
-                  .select("src", "dst").collect()):
+        for r in edges_local:
             ra, rb = find(r.src), find(r.dst)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)

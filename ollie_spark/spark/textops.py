@@ -165,14 +165,25 @@ def minhash_band_pairs(docs: DataFrame, id_col: str = "doc_id",
             metrics_out["dropped_bands"] = 0
     else:
         raw, sizes = _minhash_sized(docs, id_col, text_col)
+        dropped = None
         if metrics_out is not None:
+            # the metric probe pays the sizing agg — materialize it so
+            # the kept-filter join reads stored sizes (one agg pass)
+            sizes = materialize_once(sizes)
             # sizes is one row per band_key, so this IS the distinct
             # dropped-bucket count
-            metrics_out["dropped_bands"] = (
-                sizes.where(F.col("_n") > max_bucket).count())
-        banded = materialize_once(
-            raw.join(sizes.where(F.col("_n") <= max_bucket), "band_key")
-            .drop("_n"))
+            dropped = sizes.where(F.col("_n") > max_bucket).count()
+            metrics_out["dropped_bands"] = dropped
+        if dropped == 0:
+            # no bucket exceeds the cap: the filter join is an identity
+            # — skip it and its materialization barrier (r7; pure win
+            # at any scale, the capped path below is untouched)
+            banded = raw
+        else:
+            banded = materialize_once(
+                raw.join(sizes.where(F.col("_n") <= max_bucket),
+                         "band_key")
+                .drop("_n"))
     a, b = banded.alias("a"), banded.alias("b")
     return (a.join(b, "band_key")
             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -301,14 +312,23 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
             metrics_out["dropped_blocks"] = 0
     else:
         raw, sizes, key_cols = _jaccard_sized(docs, block_cols, tc_bucket)
+        dropped = None
         if metrics_out is not None:
+            # metric probe pays the sizing agg — materialize it so the
+            # kept-filter join reads stored sizes (one agg pass)
+            sizes = materialize_once(sizes)
             # sizes is one row per block key, so this IS the distinct
             # dropped-block count
-            metrics_out["dropped_blocks"] = (
-                sizes.where(F.col("_n") > max_block).count())
-        base = materialize_once(
-            raw.join(sizes.where(F.col("_n") <= max_block), key_cols)
-            .drop("_n"))
+            dropped = sizes.where(F.col("_n") > max_block).count()
+            metrics_out["dropped_blocks"] = dropped
+        if dropped == 0:
+            # no block exceeds the cap: the filter join is an identity
+            # — skip it and its barrier (r7; capped path untouched)
+            base = raw
+        else:
+            base = materialize_once(
+                raw.join(sizes.where(F.col("_n") <= max_block), key_cols)
+                .drop("_n"))
     if tc_bucket is None:
         a, b = base.alias("a"), base.alias("b")
         cond = (F.col("a.tc") == F.col("b.tc")) \
