@@ -478,6 +478,96 @@ def _star_components(sym: DataFrame, max_iter: int = 50) -> DataFrame:
     return labels.unionByName(roots)
 
 
+def _local_blocking_components(norms, num_hashes: int = 16,
+                               bands: int = 8,
+                               jaccard_threshold: float = 0.5,
+                               max_bucket: int = 64):
+    """Driver-side replica of lsh_candidate_pairs + connected_components
+    over a small distinct-norm list -> ([(norm, component)], dropped).
+
+    Value-identical to the distributed path by construction: signatures
+    use the bit-exact xxhash64 replica (ollie_spark.spark.xxh64, parity
+    property-tested against F.xxhash64), band keys hash the same
+    comma-joined signature-slot strings (Long.toString == str(int) for
+    every long), buckets over max_bucket are dropped and counted the
+    same way, candidate pairs are verified with the same exact
+    char-3-gram Jaccard, and components are min-root union-find — the
+    same rule every distributed CC algorithm here converges to.
+    Equivalence on real corpus norms is pinned by
+    test_linking.test_local_blocking_matches_distributed.
+
+    Cost model: ~(len(norm) shingles x (1 byte-hash + num_hashes int
+    finalizers)) per norm in pure python — ~0.5 ms/norm at the default
+    16 hashes, so the default canonicalize threshold (2,000 norms,
+    ~1 s single-core, a few hundred KB of driver memory) stays well
+    under the distributed path's ~5 s of fixed job overhead."""
+    from collections import defaultdict
+
+    from .xxh64 import hash_bytes, hash_int, SPARK_SEED
+
+    rows_per = num_hashes // bands
+
+    def signed(h):
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    def grams(norm):
+        if len(norm) < 3:
+            return {norm}
+        return {norm[i:i + 3] for i in range(len(norm) - 2)}
+
+    buckets = defaultdict(list)
+    gram_cache = {}
+    for norm in norms:
+        sh = grams(norm)
+        gram_cache[norm] = sh
+        # xxhash64(shingle, seed) chains: bytes-hash once per shingle,
+        # then one int finalizer per seed
+        sig = [None] * num_hashes
+        for g in sh:
+            hb = hash_bytes(g.encode("utf-8"), SPARK_SEED)
+            for s in range(num_hashes):
+                v = signed(hash_int(s, hb))
+                if sig[s] is None or v < sig[s]:
+                    sig[s] = v
+        for b in range(bands):
+            key = ",".join(str(sig[b * rows_per + r])
+                           for r in range(rows_per))
+            bk = hash_int(b, hash_bytes(key.encode("utf-8"), SPARK_SEED))
+            buckets[bk].append(norm)
+
+    dropped = 0
+    cand = set()
+    for members in buckets.values():
+        if len(members) > max_bucket:
+            dropped += 1
+            continue
+        uniq = sorted(set(members))
+        for i, a in enumerate(uniq):
+            for b in uniq[i + 1:]:
+                cand.add((a, b))
+
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in cand:
+        ga, gb = gram_cache[a], gram_cache[b]
+        if len(ga & gb) / len(ga | gb) < jaccard_threshold:
+            continue
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    rows = [(n, find(n) if n in parent else n) for n in norms]
+    return rows, dropped
+
+
 def salted_join(big: DataFrame, small: DataFrame, key: str,
                 salt: int = 8, keep_salt: bool = False,
                 salt_cols=None) -> DataFrame:
@@ -506,7 +596,8 @@ def canonicalize(mentions: DataFrame, num_hashes: int = 16,
                  bands: int = 8, salt: int = 8,
                  broadcast_map_threshold: int = 1_000_000,
                  metrics_out: dict | None = None,
-                 caches_out: list | None = None):
+                 caches_out: list | None = None,
+                 local_blocking_threshold: int = 2_000):
     """-> (linked_mentions, nodes, edges) DataFrames.
 
     nodes(node_id, canonical, aliases, mention_count)
@@ -577,13 +668,42 @@ def canonicalize(mentions: DataFrame, num_hashes: int = 16,
     # anti-join, AND the canonical-map join — without the persist each
     # consumer re-runs the mention normalization + two shuffles
     counts = (surface_counts.groupBy("norm")
-              .agg(F.max_by("text", "count").alias("surface"),
+              .agg(F.max_by("text", F.struct("count", "text"))
+                   .alias("surface"),
                    F.sum("count").alias("n"))).persist()
     entities = counts.select("norm")
     t0 = _time.monotonic()
-    pairs = lsh_candidate_pairs(entities, num_hashes=num_hashes,
-                                bands=bands, metrics_out=metrics_out)
-    comp = connected_components(pairs, entities)
+    # small-distinct-entity escape hatch (r7): below the threshold the
+    # whole blocking stage — banding, bucket sizing/cap, candidate
+    # self-join, Jaccard verification AND connected components —
+    # resolves driver-side in one collect, exactly like the union-find
+    # hatch inside connected_components (value-identical by the
+    # bit-exact xxhash64 replica; see _local_blocking_components).
+    # The distributed path below is unchanged, plan-pinned
+    # (tests/test_plans.py), and remains the path for real entity
+    # populations; the count that gates the switch also materializes
+    # the persisted counts frame, which the distributed path needs
+    # anyway.  Driver cost at the threshold: ~1 s and a few hundred KB
+    # (2,000 norms).
+    n_entities = counts.count()
+    if n_entities <= local_blocking_threshold:
+        norms = [r.norm for r in entities.collect()]
+        comp_rows, dropped = _local_blocking_components(
+            norms, num_hashes=num_hashes, bands=bands)
+        if metrics_out is not None:
+            metrics_out["dropped_buckets"] = dropped
+        import pandas as pd
+
+        spark = mentions.sparkSession
+        # pandas/Arrow -> JVM LocalRelation (the union-find hatch's
+        # ship-back discipline: a plain-list createDataFrame would spin
+        # python workers per downstream evaluation)
+        comp = spark.createDataFrame(
+            pd.DataFrame(comp_rows, columns=["norm", "component"]))
+    else:
+        pairs = lsh_candidate_pairs(entities, num_hashes=num_hashes,
+                                    bands=bands, metrics_out=metrics_out)
+        comp = connected_components(pairs, entities)
     if metrics_out is not None:
         metrics_out["lsh_cc_sec"] = round(_time.monotonic() - t0, 3)
 
@@ -604,8 +724,14 @@ def canonicalize(mentions: DataFrame, num_hashes: int = 16,
     if metrics_out is not None:
         metrics_out["canon_map_sec"] = round(_time.monotonic() - t0, 3)
 
+    # tie-breaks are DETERMINISTIC (r7): max_by on the bare count left
+    # equal-count ties to partition row order, so `canonical` could
+    # flip between runs/cluster shapes (and between the distributed
+    # blocking path and its escape hatch) — the struct ordering keeps
+    # the max count and breaks ties by greatest surface string
     nodes = (canon.groupBy("node_id")
-             .agg(F.max_by("surface", "n").alias("canonical"),
+             .agg(F.max_by("surface", F.struct("n", "surface"))
+                  .alias("canonical"),
                   F.collect_set("norm").alias("aliases"),
                   F.sum("n").alias("mention_count")))
 

@@ -608,3 +608,85 @@ def test_incremental_link_randomized_stability_properties(spark):
     _, delta2 = incremental_link(batch_b, emap)
     dm2 = {r.norm: r.node_id for r in delta2.collect()}
     assert dm2 == dm                                         # (4)
+
+
+# ------------------------- r7: local blocking escape hatch equivalence
+
+def test_python_xxhash64_matches_spark(spark):
+    """The pure-python xxhash64 replica (xxh64.py) must be bit-exact
+    against F.xxhash64 for the field shapes the blocking stage hashes:
+    (string,), (string, int literal) — plus unicode/empty edge cases
+    the ASCII norms never hit, so the parity is not corpus-shaped."""
+    import random
+    import string as _string
+
+    from ollie_spark.spark.xxh64 import xxhash64
+
+    rng = random.Random(99)
+    cases = ["", "a", "ab", "abc", "héllo ☃ 中文",
+             "x" * 31, "x" * 32, "x" * 33, "y" * 100]
+    cases += ["".join(rng.choice(_string.printable)
+                      for _ in range(rng.randrange(0, 64)))
+              for _ in range(40)]
+    df = spark.createDataFrame([(s,) for s in cases], "s string")
+    rows = df.select(
+        "s", F.xxhash64("s").alias("h0"),
+        *[F.xxhash64("s", F.lit(i)).alias(f"h{i + 1}")
+          for i in range(4)]).collect()
+    for r in rows:
+        assert xxhash64(r.s) == r.h0, repr(r.s)
+        for i in range(4):
+            assert xxhash64(r.s, i) == r[f"h{i + 1}"], (repr(r.s), i)
+
+
+def test_local_blocking_matches_distributed(spark, mentions):
+    """canonicalize's r7 small-entity escape hatch must produce the
+    SAME nodes/edges/linked rows and the same dropped_buckets metric
+    as the distributed blocking path on the real extraction corpus
+    (the closed-vocab norms: multi-word names, near-dup surface forms,
+    numbers)."""
+    def run(threshold):
+        mo = {}
+        linked, nodes, edges = canonicalize(
+            mentions, metrics_out=mo, local_blocking_threshold=threshold)
+        n = {(r.node_id, r.canonical, tuple(sorted(r.aliases)),
+              r.mention_count) for r in nodes.collect()}
+        e = {(r.src_node, r.rel, r.dst_node, r.weight, round(r.conf, 9))
+             for r in edges.collect()}
+        lk = {(r.doc_id, r.span_idx, r.arg1_node, r.arg2_node)
+              for r in linked.collect()}
+        return n, e, lk, mo["dropped_buckets"]
+
+    local = run(10_000)       # hatch fires (corpus has ~300 norms)
+    dist = run(0)             # forced distributed path
+    assert local[0] == dist[0], "nodes diverge"
+    assert local[1] == dist[1], "edges diverge"
+    assert local[2] == dist[2], "linked mentions diverge"
+    assert local[3] == dist[3], "dropped_buckets metric diverges"
+
+
+def test_local_blocking_short_and_colliding_norms(spark):
+    """Hatch vs distributed on adversarial synthetic norms: shorter
+    than one shingle (len < 3), exact duplicates of surface forms,
+    near-dup chains, and disjoint singletons."""
+    triples = [
+        ("ab", "r", "acme corp"), ("ab", "r", "acme corporation"),
+        ("acme corporatio", "r", "zz"), ("x", "r", "unrelated thing"),
+        ("1 2 3 4", "r", "1 2 3 5"),
+    ]
+    rows = [(f"d{i}", 0, a, r, b, 0.9, 0.9, "p")
+            for i, (a, r, b) in enumerate(triples)]
+    m = spark.createDataFrame(
+        rows, "doc_id string, span_idx int, arg1_text string, rel_text "
+              "string, arg2_text string, openparse_conf double, conf "
+              "double, pattern string")
+
+    def run(threshold):
+        linked, nodes, edges = canonicalize(
+            m, local_blocking_threshold=threshold)
+        return ({(r.node_id, tuple(sorted(r.aliases)))
+                 for r in nodes.collect()},
+                {(r.src_node, r.rel, r.dst_node)
+                 for r in edges.collect()})
+
+    assert run(10_000) == run(0)
