@@ -192,7 +192,9 @@ from ollie_spark.spark.textops import (BM25_B as _BM25_B,  # noqa: E402
                                        DEFAULT_MAX_BAND_BUCKET as _MAX_BAND,
                                        DEFAULT_MAX_JACCARD_BLOCK as _MAX_BLOCK,
                                        MINHASH_SEEDS as _MINHASH_SEEDS,
-                                       cosine as _lib_cosine,
+                                       cosine as _lib_cosine,  # noqa: F401
+                                       dot as _lib_dot,
+                                       l2norm as _lib_l2norm,
                                        doc_fingerprint, minhash_band_pairs,
                                        ngram_jaccard_pairs, sign_cell,
                                        simhash16, text_quality,
@@ -250,14 +252,22 @@ def q17_doc_fingerprint(spark, sf_dir):
 
 
 def q18_ann_cosine_topk(spark, sf_dir):
-    """Brute-force cosine top-10 neighbors of vec_id 0."""
+    """Brute-force cosine top-10 neighbors of vec_id 0.
+
+    Norms are precomputed per side (r7): the inline cosine re-ran the
+    corpus row's norm AND the (constant) query norm once per row; the
+    stored/broadcast norms leave one dot aggregate per row.  Values
+    are bit-identical (same aggregates, same sqrt-product division)."""
     e = _t(spark, sf_dir, "embeddings") \
         .select("vec_id", F.transform("embedding",
                                       lambda x: x.cast("double"))
-                .alias("emb"))
+                .alias("emb")) \
+        .withColumn("_nrm", _lib_l2norm(F.col("emb")))
     q = e.where(F.col("vec_id") == 0) \
-         .select(F.col("emb").alias("qemb"))
-    cos = F.round(_lib_cosine(F.col("emb"), F.col("qemb")), 4)
+         .select(F.col("emb").alias("qemb"),
+                 F.col("_nrm").alias("_qnrm"))
+    cos = F.round(_lib_dot(F.col("emb"), F.col("qemb"))
+                  / (F.col("_nrm") * F.col("_qnrm")), 4)
     return (e.crossJoin(F.broadcast(q))
             .where(F.col("vec_id") != 0)
             .select("vec_id", cos.alias("cosine"))
@@ -273,11 +283,15 @@ def q19_ivf_bucketed_ann(spark, sf_dir):
         .select("vec_id", F.transform("embedding",
                                       lambda x: x.cast("double"))
                 .alias("emb"))
-    cells = e.withColumn("cell", sign_cell(F.col("emb"), 4))
+    # norms precomputed per side (r7, see q18) — bit-identical values
+    cells = e.withColumn("cell", sign_cell(F.col("emb"), 4)) \
+             .withColumn("_nrm", _lib_l2norm(F.col("emb")))
     q = cells.where(F.col("vec_id") == 0) \
              .select(F.col("emb").alias("qemb"),
-                     F.col("cell").alias("qcell"))
-    cos = F.round(_lib_cosine(F.col("emb"), F.col("qemb")), 4)
+                     F.col("cell").alias("qcell"),
+                     F.col("_nrm").alias("_qnrm"))
+    cos = F.round(_lib_dot(F.col("emb"), F.col("qemb"))
+                  / (F.col("_nrm") * F.col("_qnrm")), 4)
     return (cells.join(F.broadcast(q),
                        cells.cell == F.col("qcell"))
             .where(F.col("vec_id") != 0)
@@ -294,9 +308,14 @@ def q21_embedding_neardup(spark, sf_dir):
         .select("vec_id", F.transform("embedding",
                                       lambda x: x.cast("double"))
                 .alias("emb"))
-    cells = e.withColumn("cell", sign_cell(F.col("emb"), 4))
+    # norms precomputed per ROW (r7): the inline cosine re-aggregated
+    # both rows' norms once per candidate pair — 3 array walks per
+    # pair where 1 (the dot) suffices.  Bit-identical values.
+    cells = e.withColumn("cell", sign_cell(F.col("emb"), 4)) \
+             .withColumn("_nrm", _lib_l2norm(F.col("emb")))
     a, b = cells.alias("a"), cells.alias("b")
-    cos = F.round(_lib_cosine(F.col("a.emb"), F.col("b.emb")), 4)
+    cos = F.round(_lib_dot(F.col("a.emb"), F.col("b.emb"))
+                  / (F.col("a._nrm") * F.col("b._nrm")), 4)
     return (a.join(b, "cell")
             .where(F.col("a.vec_id") < F.col("b.vec_id"))
             .where(cos >= 0.62)

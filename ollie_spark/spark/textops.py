@@ -529,6 +529,23 @@ def doc_fingerprint(text_col, gram: int = 5) -> Column:
     return F.array_min(F.transform(grams, lambda g: F.md5(g)))
 
 
+def dot(a, b) -> Column:
+    """Dot product: one flat double aggregate over zip_with."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2norm(a) -> Column:
+    """sqrt(sum of squares) — precompute this PER ROW before any
+    pairwise join: inside a cosine evaluated per candidate pair, each
+    row's norm is recomputed once per partner (k array walks for k
+    candidates where one suffices; guide §1.2 step 1 — don't compute
+    things you throw away).  The pair generators store it next to the
+    cell column and divide by the product of the stored norms."""
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
 def cosine(a, b) -> Column:
     """Cosine similarity: three flat double aggregates.
 
@@ -537,14 +554,12 @@ def cosine(a, b) -> Column:
     struct fold ~25% SLOWER — per-element struct allocation costs more
     than the two extra flat walks, unlike the string/array folds
     (minhash_sig, simhash16) where re-walking was the expensive part.
-    """
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    return dot / (na * nb)
+
+    For pairwise joins prefer ``dot``/``l2norm`` with the norms
+    precomputed per row (bit-identical values: the same three
+    aggregates, with the two sqrt factors evaluated once per row
+    instead of once per pair)."""
+    return dot(a, b) / (l2norm(a) * l2norm(b))
 
 
 def sign_cell(vec_col, bits: int) -> Column:
@@ -630,14 +645,18 @@ def embedding_neardup_pairs(vecs: DataFrame, threshold: float = 0.62,
             # and deterministic, unlike first() on an unordered frame
             dim = int(probe["d"]) if probe["d"] is not None else 4
         bits = auto_cell_bits(probe["n"], dim=dim)
-        base = vecs.withColumn("_cell", sign_cell(F.col(vec_col), bits))
+        base = (vecs.withColumn("_cell", sign_cell(F.col(vec_col), bits))
+                .withColumn("_nrm", l2norm(F.col(vec_col))))
     else:
         # explicit bits: one materialization of the cell frame — the
         # probe side derives from the same frame, so without this the
         # source is scanned (and cells computed) per side (the
-        # q12/q14/linking band-frame discipline)
+        # q12/q14/linking band-frame discipline).  The row's L2 norm
+        # is stored alongside the cell (r7): the former per-pair
+        # cosine recomputed both norms once per candidate partner.
         base = materialize_once(
-            vecs.withColumn("_cell", sign_cell(F.col(vec_col), bits)))
+            vecs.withColumn("_cell", sign_cell(F.col(vec_col), bits))
+            .withColumn("_nrm", l2norm(F.col(vec_col))))
     if multi_probe:
         probed = base.withColumn(
             "_probe", F.explode(probe_cells(F.col(vec_col), bits)))
@@ -647,7 +666,12 @@ def embedding_neardup_pairs(vecs: DataFrame, threshold: float = 0.62,
     else:
         a, b = base.alias("a"), base.alias("b")
         joined = a.join(b, F.col("a._cell") == F.col("b._cell"))
-    cos = F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4)
+    # bit-identical to round(cosine(a,b), 4): the same dot aggregate
+    # divided by the product of the same sqrt-of-sum-of-squares values
+    # — but the norms come from the per-row _nrm column instead of
+    # being re-aggregated per candidate pair
+    cos = F.round(dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                  / (F.col("a._nrm") * F.col("b._nrm")), 4)
     return (joined
             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             .where(cos >= threshold)
