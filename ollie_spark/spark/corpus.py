@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (ArrayType, IntegerType, StringType,
                                StructField, StructType)
 
-from .synth import FIXTURE_PARSES, sample_sentence
+from .synth import FIXTURE_PARSES, sample_sentence, sample_sentence_text
 
 SPAN_SCHEMA = StructType([
     StructField("kind", StringType()),
@@ -59,7 +59,10 @@ def build_doc(doc_id: str, seed: int = 42) -> list:
             spans.append(("text", text, None, offset))
             offset += len(text)
         else:
-            text, _, _ = sample_sentence(rng)
+            # text-only sampler: same RNG draws + same rendered string
+            # as sample_sentence, minus the graph/expected construction
+            # the corpus discards (~10x per-doc cost; synth.py)
+            text = sample_sentence_text(rng)
             spans.append(("text", text, None, offset))
             offset += len(text)
     return spans

@@ -50,6 +50,11 @@ def _g(nodes, edges):
 # expected [(arg1, rel, arg2, enabler, attribution)]), recognize(tokens)
 # -> slots | None.
 
+def _t1_text(s):
+    f, l, v, n = s
+    return f"{f} {l} {v} the {n} ."
+
+
 def _t1_build(s):
     f, l, v, n = s
     toks = [_n(f, "NNP", 0), _n(l, "NNP", 1), _n(v, "VBD", 2),
@@ -57,7 +62,7 @@ def _t1_build(s):
     edges = [Edge("nn", toks[1], toks[0]), Edge("nsubj", toks[2], toks[1]),
              Edge("dobj", toks[2], toks[4]), Edge("det", toks[4], toks[3]),
              Edge("punct", toks[2], toks[5])]
-    text = f"{f} {l} {v} the {n} ."
+    text = _t1_text(s)
     return text, _g(toks, edges), [(f"{f} {l}", v, f"the {n}", None, None)]
 
 
@@ -66,6 +71,11 @@ def _t1_rec(t):
             and t[3] == "the" and t[4] in _NOUN and t[5] == "."):
         return (t[0], t[1], t[2], t[4])
     return None
+
+
+def _t2_text(s):
+    f, l, r, o = s
+    return f"{f} {l} is the {r} of {o} ."
 
 
 def _t2_build(s):
@@ -77,7 +87,7 @@ def _t2_build(s):
              Edge("cop", toks[4], toks[2]), Edge("det", toks[4], toks[3]),
              Edge("prep_of", toks[4], toks[6]),
              Edge("punct", toks[4], toks[7])]
-    text = f"{f} {l} is the {r} of {o} ."
+    text = _t2_text(s)
     return text, _g(toks, edges), [
         (f"{f} {l}", f"is the {r} of", o, None, None),
         # the copular pattern also fires with the full predicate as arg2
@@ -92,6 +102,11 @@ def _t2_rec(t):
     return None
 
 
+def _t3_text(s):
+    f, l, v, p = s
+    return f"{f} {l} was {v} in {p} ."
+
+
 def _t3_build(s):
     f, l, v, p = s
     toks = [_n(f, "NNP", 0), _n(l, "NNP", 1), _n("was", "VBD", 2),
@@ -102,7 +117,7 @@ def _t3_build(s):
              Edge("auxpass", toks[3], toks[2]),
              Edge("prep_in", toks[3], toks[5]),
              Edge("punct", toks[3], toks[6])]
-    text = f"{f} {l} was {v} in {p} ."
+    text = _t3_text(s)
     expected = [(f"{f} {l}", f"was {v} in", p, None, None)]
     if v == "born":
         # the learned model contains prep-rewrite templates for the
@@ -120,6 +135,11 @@ def _t3_rec(t):
     return None
 
 
+def _t4_text(s):
+    f1, l1, say, f2, l2, v, n = s
+    return f"{f1} {l1} {say} {f2} {l2} {v} the {n} ."
+
+
 def _t4_build(s):
     f1, l1, say, f2, l2, v, n = s
     toks = [_n(f1, "NNP", 0), _n(l1, "NNP", 1), _n(say, "VBD", 2),
@@ -130,7 +150,7 @@ def _t4_build(s):
              Edge("ccomp", toks[2], toks[5]),
              Edge("dobj", toks[5], toks[7]), Edge("det", toks[7], toks[6]),
              Edge("punct", toks[2], toks[8])]
-    text = f"{f1} {l1} {say} {f2} {l2} {v} the {n} ."
+    text = _t4_text(s)
     return text, _g(toks, edges), [
         (f"{f2} {l2}", v, f"the {n}", None, f"{f1} {l1} {say}")]
 
@@ -141,6 +161,11 @@ def _t4_rec(t):
             and t[6] == "the" and t[7] in _NOUN and t[8] == "."):
         return tuple(t[:6]) + (t[7],)
     return None
+
+
+def _t5_text(s):
+    f, l, n = s
+    return f"If it rains , {f} {l} stays in the {n} ."
 
 
 def _t5_build(s):
@@ -155,7 +180,7 @@ def _t5_build(s):
              Edge("prep_in", toks[6], toks[9]),
              Edge("det", toks[9], toks[8]),
              Edge("punct", toks[6], toks[10])]
-    text = f"If it rains , {f} {l} stays in the {n} ."
+    text = _t5_text(s)
     return text, _g(toks, edges), [
         (f"{f} {l}", "stays in", f"the {n}", "If it rains", None)]
 
@@ -168,6 +193,11 @@ def _t5_rec(t):
     return None
 
 
+def _t6_text(s):
+    f, l, p1, p2 = s
+    return f"{f} {l} moved from {p1} to {p2} ."
+
+
 def _t6_build(s):
     f, l, p1, p2 = s
     toks = [_n(f, "NNP", 0), _n(l, "NNP", 1), _n("moved", "VBD", 2),
@@ -177,7 +207,7 @@ def _t6_build(s):
              Edge("prep_from", toks[2], toks[4]),
              Edge("prep_to", toks[2], toks[6]),
              Edge("punct", toks[2], toks[7])]
-    text = f"{f} {l} moved from {p1} to {p2} ."
+    text = _t6_text(s)
     return text, _g(toks, edges), [
         (f"{f} {l}", "moved from", p1, None, None),
         (f"{f} {l}", "moved to", p2, None, None)]
@@ -189,6 +219,11 @@ def _t6_rec(t):
             and t[6] in _PLACE and t[7] == "."):
         return (t[0], t[1], t[4], t[6])
     return None
+
+
+def _t7_text(s):
+    f, l, r, o, v, n = s
+    return f"{f} {l} , the {r} of {o} , {v} the {n} ."
 
 
 def _t7_build(s):
@@ -207,7 +242,7 @@ def _t7_build(s):
              Edge("dobj", toks[8], toks[10]),
              Edge("det", toks[10], toks[9]),
              Edge("punct", toks[8], toks[11])]
-    text = f"{f} {l} , the {r} of {o} , {v} the {n} ."
+    text = _t7_text(s)
     return text, _g(toks, edges), [
         (f"{f} {l}", v, f"the {n}", None, None),
         (f"{f} {l}", f"be the {r} of", o, None, None)]
@@ -220,6 +255,11 @@ def _t7_rec(t):
             and t[9] == "the" and t[10] in _NOUN and t[11] == "."):
         return (t[0], t[1], t[4], t[6], t[8], t[10])
     return None
+
+
+def _t8_text(s):
+    f, l, n = s
+    return f"{f} {l} is going to visit the {n} ."
 
 
 def _t8_build(s):
@@ -235,7 +275,7 @@ def _t8_build(s):
              Edge("dobj", toks[5], toks[7]),
              Edge("det", toks[7], toks[6]),
              Edge("punct", toks[3], toks[8])]
-    text = f"{f} {l} is going to visit the {n} ."
+    text = _t8_text(s)
     return text, _g(toks, edges), [
         (f"{f} {l}", "is going to visit", f"the {n}", None, None)]
 
@@ -286,6 +326,13 @@ for _w, *_rest in TEMPLATES:
     _CUM.append(_total)
 
 
+# text renderers aligned with TEMPLATES by index — each is the SAME
+# function its template's build() calls, so the text-only corpus path
+# cannot drift from the full builder
+_TEXTS = [_t1_text, _t2_text, _t3_text, _t4_text, _t5_text, _t6_text,
+          _t7_text, _t8_text]
+
+
 def sample_sentence(rng: random.Random):
     """-> (text, graph, expected triples)."""
     x = rng.randrange(_total)
@@ -293,6 +340,22 @@ def sample_sentence(rng: random.Random):
         if x < c:
             _, build, _, sample = TEMPLATES[i]
             return build(sample(rng))
+    raise AssertionError
+
+
+def sample_sentence_text(rng: random.Random) -> str:
+    """Text of the sentence ``sample_sentence`` would draw — identical
+    RNG consumption (one randrange + the template's slot draws) and
+    identical text (the shared per-template renderer), WITHOUT building
+    Node/Edge/DependencyGraph objects or expected triples.  The corpus
+    generator keeps only the text, so the graph construction was ~90%
+    of its per-doc cost (equality pinned by
+    tests/test_spark_pipeline.py::test_text_only_sampler_matches_full).
+    """
+    x = rng.randrange(_total)
+    for i, c in enumerate(_CUM):
+        if x < c:
+            return _TEXTS[i](TEMPLATES[i][3](rng))
     raise AssertionError
 
 

@@ -292,3 +292,35 @@ def test_sent_idx_propagated_through_segmentation(spark):
     assert set(by_sent) == {0, 1}, by_sent
     assert "OpenParse" in by_sent[0]
     assert "Juliette" in by_sent[1]
+
+
+def test_text_only_sampler_matches_full():
+    """The corpus generator's text-only sampler must consume the SAME
+    rng draws and render the SAME text as the full sample_sentence —
+    for every template (weights hit all 8 over 2,000 draws)."""
+    import random
+
+    from ollie_spark.spark.synth import (sample_sentence,
+                                         sample_sentence_text)
+
+    a, b = random.Random("parity"), random.Random("parity")
+    for _ in range(2000):
+        text_full, _, _ = sample_sentence(a)
+        text_only = sample_sentence_text(b)
+        assert text_full == text_only
+    # rng streams stayed in lockstep (identical draw counts)
+    assert a.random() == b.random()
+
+
+def test_build_doc_unchanged_golden():
+    """build_doc output is pinned against values generated by the
+    pre-r7 (full sample_sentence) implementation — the corpus is the
+    bench's input and must stay byte-identical across optimization
+    rounds."""
+    from ollie_spark.spark.corpus import build_doc
+
+    spans = build_doc("doc-000000000000", 42)
+    assert spans == [
+        ("text", "Jamal Baker was born in Lima .", None, 0),
+        ("text", "Elena Kumar acquired the garden .", None, 30),
+    ], spans
