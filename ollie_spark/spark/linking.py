@@ -153,24 +153,17 @@ def lsh_candidate_pairs(entities: DataFrame, num_hashes: int = 16,
     banded = materialize_once(_lsh_banded(entities, num_hashes, bands))
     sizes = banded.groupBy("band_key").agg(
         F.count("*").alias("bucket_n"))
+    # r7: the sizing agg runs eagerly ONCE (materialized) and its
+    # dropped count decides the join — when NO bucket exceeds the cap
+    # the filter join is an identity, so skip it and its second
+    # full-frame materialization barrier outright (the common case);
+    # the capped path reads the STORED sizes, never re-running the agg.
+    sizes = materialize_once(sizes)
+    dropped = sizes.where(F.col("bucket_n") > max_bucket).count()
     if metrics_out is not None:
-        # the metric probe already pays the sizing agg — materialize it
-        # so the kept-filter join below reads the stored sizes instead
-        # of re-running the full agg (one shuffle pass, not two), and
-        # r7: when NO bucket exceeds the cap the filter join is an
-        # identity — skip the join and its materialization barrier
-        # outright and self-join the banded frame directly (pure win at
-        # any scale; the capped path is untouched).
-        sizes = materialize_once(sizes)
-        dropped = sizes.where(F.col("bucket_n") > max_bucket).count()
         metrics_out["dropped_buckets"] = dropped
-        if dropped == 0:
-            kept = banded
-        else:
-            kept = materialize_once(
-                banded.join(sizes.where(F.col("bucket_n") <= max_bucket),
-                            "band_key")
-                .drop("bucket_n"))
+    if dropped == 0:
+        kept = banded
     else:
         kept = materialize_once(
             banded.join(sizes.where(F.col("bucket_n") <= max_bucket),

@@ -165,19 +165,19 @@ def minhash_band_pairs(docs: DataFrame, id_col: str = "doc_id",
             metrics_out["dropped_bands"] = 0
     else:
         raw, sizes = _minhash_sized(docs, id_col, text_col)
-        dropped = None
+        # r7: the sizing agg runs eagerly ONCE (materialized) and its
+        # dropped count decides the join: when no bucket exceeds the
+        # cap the filter join is an identity — skip it and the second
+        # full-frame materialization barrier outright (the common case;
+        # a healthy corpus has zero degenerate bands).  The capped path
+        # reads the STORED sizes, so the agg never runs twice.  sizes
+        # is one row per band_key, so the filter count IS the distinct
+        # dropped-bucket count.
+        sizes = materialize_once(sizes)
+        dropped = sizes.where(F.col("_n") > max_bucket).count()
         if metrics_out is not None:
-            # the metric probe pays the sizing agg — materialize it so
-            # the kept-filter join reads stored sizes (one agg pass)
-            sizes = materialize_once(sizes)
-            # sizes is one row per band_key, so this IS the distinct
-            # dropped-bucket count
-            dropped = sizes.where(F.col("_n") > max_bucket).count()
             metrics_out["dropped_bands"] = dropped
         if dropped == 0:
-            # no bucket exceeds the cap: the filter join is an identity
-            # — skip it and its materialization barrier (r7; pure win
-            # at any scale, the capped path below is untouched)
             banded = raw
         else:
             banded = materialize_once(
@@ -312,18 +312,15 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
             metrics_out["dropped_blocks"] = 0
     else:
         raw, sizes, key_cols = _jaccard_sized(docs, block_cols, tc_bucket)
-        dropped = None
+        # r7: eager materialized sizing + identity-join skip when no
+        # block exceeds the cap (see minhash_band_pairs — same flow);
+        # sizes is one row per block key, so the filter count IS the
+        # distinct dropped-block count
+        sizes = materialize_once(sizes)
+        dropped = sizes.where(F.col("_n") > max_block).count()
         if metrics_out is not None:
-            # metric probe pays the sizing agg — materialize it so the
-            # kept-filter join reads stored sizes (one agg pass)
-            sizes = materialize_once(sizes)
-            # sizes is one row per block key, so this IS the distinct
-            # dropped-block count
-            dropped = sizes.where(F.col("_n") > max_block).count()
             metrics_out["dropped_blocks"] = dropped
         if dropped == 0:
-            # no block exceeds the cap: the filter join is an identity
-            # — skip it and its barrier (r7; capped path untouched)
             base = raw
         else:
             base = materialize_once(

@@ -115,16 +115,29 @@ def test_pair_generator_sizing_carries_no_window(spark, monkeypatch):
         "doc_id string, lang string, text string")
     ents = spark.createDataFrame([("acme corp",), ("acme corporation",)],
                                  "norm string")
+    # max cap of 1 forces every bucket over the cap, so the filter join
+    # (and its groupBy sizing) stays in the returned plan — with the r7
+    # identity-join skip, an uncapped-in-practice frame carries the
+    # sizing only as an eager side job (still a groupBy, never a
+    # window; the dropped==0 plans are covered by the next loop)
     frames = (
-        textops.minhash_band_pairs(docs),
-        textops.ngram_jaccard_pairs(docs, tc_bucket=16),
-        linking.lsh_candidate_pairs(ents),
+        textops.minhash_band_pairs(docs, max_bucket=1),
+        textops.ngram_jaccard_pairs(docs, tc_bucket=16, max_block=1),
+        linking.lsh_candidate_pairs(ents, max_bucket=1),
     )
     for df in frames:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan, \
             f"window-based bucket sizing returned:\n{plan}"
         assert "HashAggregate" in plan  # the groupBy sizing is present
+    # dropped==0 short-circuit: the self-join reads the banded frame
+    # directly, still with no window anywhere
+    for df in (textops.minhash_band_pairs(docs),
+               textops.ngram_jaccard_pairs(docs, tc_bucket=16),
+               linking.lsh_candidate_pairs(ents)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, \
+            f"window-based bucket sizing returned:\n{plan}"
 
 
 def test_whole_stage_codegen_on_relational(spark):
