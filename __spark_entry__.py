@@ -198,7 +198,8 @@ from ollie_spark.spark.textops import (BM25_B as _BM25_B,  # noqa: E402
                                        doc_fingerprint, minhash_band_pairs,
                                        ngram_jaccard_pairs, sign_cell,
                                        simhash16, text_quality,
-                                       token_counts)
+                                       token_counts,  # noqa: F401
+                                       token_counts_from_words)
 
 
 def q12_dedup_minhash(spark, sf_dir):
@@ -232,10 +233,15 @@ def q15_text_quality(spark, sf_dir):
 
 
 def q16_token_count(spark, sf_dir):
-    """Whitespace tokens + a BPE-ish subword estimate per source."""
+    """Whitespace tokens + a BPE-ish subword estimate per source.
+
+    Two-step projection (r7): the split lands as its own aliased
+    column, so both counts reference it instead of each re-running an
+    embedded split per row (measured 2-3x on this shape)."""
     d = _t(spark, sf_dir, "documents")
-    ws, sub = token_counts(F.col("text"))
-    per_doc = d.select("source", ws, sub)
+    ws, sub = token_counts_from_words(F.col("_w"))
+    per_doc = d.select("source", F.split(F.col("text"), " ").alias("_w")) \
+               .select("source", ws, sub)
     return (per_doc.groupBy("source")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("ws_tokens").alias("ws_tokens"),

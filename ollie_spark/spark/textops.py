@@ -509,14 +509,29 @@ def lang_id_oracle_sql(text_expr: str = "text") -> str:
     return "CASE " + " ".join(cases) + " ELSE 'und' END"
 
 
-def token_counts(text_col):
-    """(whitespace tokens, BPE-ish subword estimate) columns."""
-    words = F.split(text_col, " ")
+def token_counts_from_words(words) -> tuple:
+    """(whitespace tokens, BPE-ish subword estimate) columns from an
+    ALREADY-PROJECTED word-array column.  Callers should let-bind the
+    split into its own projection and pass the column ref — the two
+    counts each embed their own copy of an inline ``split`` subtree,
+    and codegen subexpression elimination does NOT fire across the
+    aggregate HOF, so the split runs twice per row (measured 2-3x wall
+    on the q16 shape; the two-step projection is the with_lang_id
+    CollapseProject discipline, CLAUDE.md)."""
     sub = F.aggregate(
         words, F.lit(0).cast("long"),
         lambda acc, w: acc + F.floor((F.length(w) + 3) / 4).cast("long"))
     return F.size(words).cast("long").alias("ws_tokens"), \
         sub.alias("subword_tokens")
+
+
+def token_counts(text_col):
+    """(whitespace tokens, BPE-ish subword estimate) columns.
+
+    Single-projection form — both counts re-run the embedded split;
+    prefer projecting ``F.split(...)`` once and using
+    :func:`token_counts_from_words` in per-row hot paths."""
+    return token_counts_from_words(F.split(text_col, " "))
 
 
 def doc_fingerprint(text_col, gram: int = 5) -> Column:
