@@ -646,7 +646,15 @@ def q49_rate_anomalies(spark, sf_dir):
     frame would silently shrink the baseline across gaps); hours with
     fewer than 12 baseline hours emit NULL z (insufficient history),
     as does a zero-variance baseline — both spelled identically in
-    the oracle so the three-valued logic is cross-engine checked."""
+    the oracle so the three-valued logic is cross-engine checked.
+
+    Baseline semantics (deliberate): the hourly frame contains only
+    hours with >= 1 event, so the mean/stddev are over ACTIVE hours in
+    the trailing window — zero-event hours are excluded, not
+    zero-filled.  For bursty types this biases the baseline high
+    (spikes after quiet periods under-score); zero-filling would need
+    a sequence+explode densification per type and a matching oracle
+    respelling, deferred because the oracle text is frozen."""
     from ollie_spark.spark.temporal import epoch_us
     hour_us = 3_600_000_000
     ev = _t(spark, sf_dir, "events")

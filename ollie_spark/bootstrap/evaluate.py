@@ -126,6 +126,15 @@ def feature_evaluation(mentions: DataFrame,
     Shape at scale: pure projection (array indexing, no shuffle); the
     optional yield/precision pair is a global ordered window, same as
     ``precision_yield`` — an eval-table concern, not a pipeline stage.
+
+    Deliberate divergence from the reference's head row (advisor
+    note): this dump's running sums are INCLUSIVE — the first row
+    carries (yield = its own label, precision = label/1) — whereas
+    ``OllieFeatureEvaluation.scala:71`` prepends a synthetic
+    (yield 0, precision 1.0) row before ``Analysis.precisionYieldMeta``.
+    Row-per-extraction semantics are kept here because the dump joins
+    back to extractions 1:1; consumers wanting the reference's table
+    shape prepend the constant head row themselves.
     """
     from ..extract.features import feature_names
     from ..model.loader import load_classifier

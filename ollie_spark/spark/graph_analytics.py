@@ -61,9 +61,18 @@ def pagerank(edges: DataFrame, src_col: str = "src_node",
 
     w = (F.col(weight_col).cast("double") if weight_col
          else F.lit(1.0))
+    # non-positive weights are dropped BEFORE aggregation (r7, advisor
+    # item): a source whose out-weights summed to 0 got _frac = 0/0,
+    # silently vanishing its rank mass each round — it has out-edges,
+    # so it is not in the dangling set — and ranks no longer summed to
+    # 1 (the documented invariant).  With the filter a zero-weight
+    # edge simply is not an edge: its source (if it remains in the
+    # graph at all) becomes dangling, and a vertex touching only
+    # non-positive edges leaves the vertex set.
     e = _mat(
         edges.select(F.col(src_col).alias("_s"),
                      F.col(dst_col).alias("_d"), w.alias("_w"))
+        .where(F.col("_w") > 0)
         .groupBy("_s", "_d").agg(F.sum("_w").alias("_w")))
     out_w = e.groupBy("_s").agg(F.sum("_w").alias("_ow"))
     # normalized edge transition fraction, computed once

@@ -849,21 +849,35 @@ def incremental_link(new_mentions: DataFrame, existing_map: DataFrame,
         # guard against a frame built with DIFFERENT (num_hashes,
         # bands) or one that doesn't cover the map: band keys would
         # never collide, every near-dup would silently mint a fresh
-        # id, and n_attached=0 looks healthy.  Probe ONE map norm:
-        # its freshly-computed band keys must all appear for it in
-        # the provided frame.  (Tiny job: `bands` keys semi-joined
-        # against the caller's materialized frame.)
-        sample = existing_map.select("norm").limit(1)
-        expect = _lsh_banded(sample, num_hashes, bands)
-        hits = (expect.join(existing_banded, ["norm", "band_key"],
-                            "left_semi").count())
-        if hits != expect.count():
-            raise ValueError(
-                "existing_banded does not match existing_map under "
-                f"(num_hashes={num_hashes}, bands={bands}): probe "
-                f"norm matched {hits}/{bands} band keys — rebuild it "
-                "with band_entities(existing_map) using the SAME "
-                "parameters")
+        # id, and n_attached=0 looks healthy.  The probe norms are
+        # COLLECTED once (r7, advisor item: the former lazy
+        # limit(1)-without-order frame was evaluated twice — once for
+        # `hits`, once for `expect.count()` — and limit is
+        # nondeterministic across evaluations, so the two evaluations
+        # could probe different norms); a handful of norms rather
+        # than one catches frames stale for a subset of the map, and
+        # the expected hit count is bands x probes by construction
+        # (_lsh_banded emits exactly `bands` rows per norm), so no
+        # second count job.
+        sample_norms = [r.norm for r in
+                        existing_map.select("norm").limit(3).collect()]
+        if sample_norms:
+            import pandas as pd
+
+            spark = new_mentions.sparkSession
+            probe = spark.createDataFrame(
+                pd.DataFrame({"norm": sample_norms}))
+            hits = (_lsh_banded(probe, num_hashes, bands)
+                    .join(existing_banded, ["norm", "band_key"],
+                          "left_semi").count())
+            if hits != bands * len(sample_norms):
+                raise ValueError(
+                    "existing_banded does not match existing_map under "
+                    f"(num_hashes={num_hashes}, bands={bands}): "
+                    f"{len(sample_norms)} probe norms matched "
+                    f"{hits}/{bands * len(sample_norms)} band keys — "
+                    "rebuild it with band_entities(existing_map) using "
+                    "the SAME parameters")
         b_old = existing_banded
     else:
         b_old = _mat(_lsh_banded(existing_map.select("norm").distinct(),

@@ -706,7 +706,15 @@ _HEX_W = 4  # compare on 4 hex chars: rate granularity 1/65536
 
 
 def rate_to_hex_threshold(rate: float) -> str:
-    """0.25 -> '4000': the md5-prefix cutoff that keeps ~rate of keys."""
+    """0.25 -> '4000': the md5-prefix cutoff that keeps ~rate of keys.
+
+    rate >= 1.0 returns 'g' (r7, advisor item): the former clamp to
+    'ffff' made the strict ``h < thr`` comparison silently drop keys
+    hashing exactly to 'ffff' (~1/65536 of rows) instead of keeping
+    everything; 'g' sorts above every lowercase-hex prefix in BOTH
+    engines, so the predicate is uniformly true."""
+    if rate >= 1.0:
+        return "g"
     return format(min(int(rate * (16 ** _HEX_W)), 16 ** _HEX_W - 1),
                   f"0{_HEX_W}x")
 

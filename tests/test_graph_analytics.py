@@ -181,3 +181,19 @@ def test_kg_training_pairs_negatives_are_filtered_and_deterministic(spark):
     assert pos == {("a", "r", "b"), ("a", "r", "c"), ("b", "r", "c")}
     for t in negs:                                   # filtered
         assert t not in pos
+
+
+def test_pagerank_zero_weight_source_conserves_mass(spark):
+    """A source whose out-edge weights sum to 0 must not leak rank
+    mass (advisor item): with the r7 non-positive-weight filter it
+    loses its out-edges and is treated as dangling, so ranks still
+    sum to 1."""
+    from ollie_spark.spark.graph_analytics import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 0.0),   # zero-weight out-edge: 'a' must go dangling
+         ("b", "c", 1.0), ("c", "a", 2.0), ("c", "b", -1.0)],
+        "src_node string, dst_node string, weight double")
+    ranks = {r.node: r.rank for r in pagerank(edges).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9, ranks
+    assert set(ranks) == {"a", "b", "c"}

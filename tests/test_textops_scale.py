@@ -1016,3 +1016,20 @@ def test_bm25_plan_is_broadcast_and_takeordered(spark):
     # and the only split() left in the final plan is the stats scan's
     assert plan.count("Scan ExistingRDD") == 2, plan
     assert "Generate explode" not in plan, plan
+
+
+def test_rate_one_keeps_every_row(spark):
+    """rate >= 1.0 must keep EVERY row (advisor item): the former
+    'ffff' clamp dropped keys whose md5 prefix was exactly 'ffff'
+    under the strict < comparison."""
+    from ollie_spark.spark.textops import (rate_to_hex_threshold,
+                                           stratified_hash_sample)
+
+    assert rate_to_hex_threshold(1.0) == "g"
+    # a key whose md5 prefix is 'ffff' (found by scan) must survive
+    import hashlib
+    k = next(f"k{i}" for i in range(10_000_000)
+             if hashlib.md5(f"k{i}".encode()).hexdigest()[:4] == "ffff")
+    df = spark.createDataFrame([(k, "en")], "doc_id string, lang string")
+    out = stratified_hash_sample(df, rates={"en": 1.0}, default_rate=1.0)
+    assert out.count() == 1
