@@ -11,18 +11,33 @@ import __spark_entry__ as entry_mod
 
 SF_DIR = "/root/testdata/sf0.001"
 
+# r7 (judge item 2): the driver's gate runs a bigger SF than the local
+# mirror did, which is exactly how the q32 float-parity divergence
+# slipped through — the full gate now runs at sf0.001 AND sf0.01, and
+# the float-bearing queries additionally at sf0.1
+# (test_float_queries_match_oracle_at_sf01).
+SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+FLOAT_QUERIES = ("q29_tfidf_keywords", "q32_mixture_weights",
+                 "q43_bm25_search", "q44_value_percentiles",
+                 "q48_rolling_daily", "q49_rate_anomalies")
+
 ORACLES = entry_mod.oracle_sql()
 QUERIES = entry_mod.queries()
 
 
-@pytest.fixture(scope="module")
-def ddb():
+def _connect(sf_dir):
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem "
               "events documents embeddings").split():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"'{SF_DIR}/{t}.parquet'")
+                    f"'{sf_dir}/{t}.parquet'")
     return con
+
+
+@pytest.fixture(scope="module", params=SF_DIRS,
+                ids=[d.rsplit("/", 1)[1] for d in SF_DIRS])
+def ddb(request):
+    return _connect(request.param), request.param
 
 
 def _norm(v):
@@ -65,13 +80,12 @@ def assert_frame_matches_oracle(sdf, con, sql, name=""):
     assert so == oo, name
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
-def test_query_matches_oracle(spark, ddb, name):
-    sdf = QUERIES[name](spark, SF_DIR)
+def _gate_one(spark, con, sf_dir, name):
+    sdf = QUERIES[name](spark, sf_dir)
     srows = sdf.collect()
     scols = sdf.columns
 
-    ores = ddb.execute(ORACLES[name])
+    ores = con.execute(ORACLES[name])
     ocols = [d[0] for d in ores.description]
     orows = ores.fetchall()
 
@@ -84,6 +98,26 @@ def test_query_matches_oracle(spark, ddb, name):
     assert sset == oset, (
         f"{name}: value mismatch at {mismatch[:3]}: "
         f"{[ (sset[i], oset[i]) for i in mismatch[:2] ]}")
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, ddb, name):
+    con, sf_dir = ddb
+    _gate_one(spark, con, sf_dir, name)
+
+
+@pytest.fixture(scope="module")
+def ddb_sf01():
+    return _connect("/root/testdata/sf0.1")
+
+
+@pytest.mark.parametrize("name", FLOAT_QUERIES)
+def test_float_queries_match_oracle_at_sf01(spark, ddb_sf01, name):
+    """The float-bearing queries (ROUND over double arithmetic) at the
+    largest local SF — the q32 class of cross-engine divergence is
+    data-dependent, so the parity net must cover the biggest values
+    the sandbox can generate."""
+    _gate_one(spark, ddb_sf01, "/root/testdata/sf0.1", name)
 
 
 def test_every_query_has_entry():
