@@ -199,7 +199,8 @@ from ollie_spark.spark.textops import (BM25_B as _BM25_B,  # noqa: E402
                                        ngram_jaccard_pairs, sign_cell,
                                        simhash16, text_quality,
                                        token_counts,  # noqa: F401
-                                       token_counts_from_words)
+                                       token_counts_from_words,
+                                       spread_small_scan as _spread)
 
 
 def q12_dedup_minhash(spark, sf_dir):
@@ -210,8 +211,11 @@ def q12_dedup_minhash(spark, sf_dir):
 
 def q13_dedup_simhash(spark, sf_dir):
     """SimHash cluster sizes per (lang, simhash)
-    (ollie_spark.spark.textops.simhash16)."""
-    d = _t(spark, sf_dir, "documents")
+    (ollie_spark.spark.textops.simhash16).
+
+    Parallelism floor (r7): a single-row-group documents file plans as
+    ONE scan task, serializing the whole per-doc simhash fold."""
+    d = _spread(_t(spark, sf_dir, "documents"))
     return (d.select("lang", simhash16(F.col("text")).alias("simhash"))
             .groupBy("lang", "simhash")
             .agg(F.count("*").alias("n"))
@@ -264,7 +268,7 @@ def q18_ann_cosine_topk(spark, sf_dir):
     corpus row's norm AND the (constant) query norm once per row; the
     stored/broadcast norms leave one dot aggregate per row.  Values
     are bit-identical (same aggregates, same sqrt-product division)."""
-    e = _t(spark, sf_dir, "embeddings") \
+    e = _spread(_t(spark, sf_dir, "embeddings")) \
         .select("vec_id", F.transform("embedding",
                                       lambda x: x.cast("double"))
                 .alias("emb")) \
@@ -285,7 +289,7 @@ def q19_ivf_bucketed_ann(spark, sf_dir):
     """IVF-style ANN: coarse cell = sign bits of the first 4 dims;
     search only the query's cell (the 100TB scale path: cells prune
     the candidate set before any distance math)."""
-    e = _t(spark, sf_dir, "embeddings") \
+    e = _spread(_t(spark, sf_dir, "embeddings")) \
         .select("vec_id", F.transform("embedding",
                                       lambda x: x.cast("double"))
                 .alias("emb"))
@@ -310,7 +314,7 @@ def q21_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs, IVF-blocked: candidates
     share a sign cell (16 cells over 4 dims), verified by cosine >=
     0.62.  The cell join is the 100TB path — no all-pairs."""
-    e = _t(spark, sf_dir, "embeddings") \
+    e = _spread(_t(spark, sf_dir, "embeddings")) \
         .select("vec_id", F.transform("embedding",
                                       lambda x: x.cast("double"))
                 .alias("emb"))

@@ -48,6 +48,27 @@ DEFAULT_MAX_BAND_BUCKET = 256
 DEFAULT_MAX_JACCARD_BLOCK = 256
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Parallelism floor for tiny or unsplittable inputs (guide §2.5's
+    input-skew case: one file with one parquet row group plans as ONE
+    scan task, so every per-row expression downstream — md5 minhash,
+    simhash folds, tokenization, pair cosines after a broadcast join —
+    runs single-threaded no matter how many cores the session has).
+
+    If the frame's planned partition count is below
+    ``defaultParallelism``, round-robin repartition to it; otherwise
+    return the frame untouched — so at real scale, where scans carry
+    at least cores-many splits, this adds NO exchange (the guide's
+    warning about blanket "repartition for parallelism" is exactly why
+    the gate exists).  The partition probe forces physical planning
+    but launches no job."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def word_shingles(text_col, n: int = 3) -> Column:
     """Array of n-word shingles.
 
@@ -102,8 +123,11 @@ def _minhash_banded(docs: DataFrame, id_col: str,
     # two-select union evaluated the whole signature pipeline once per
     # band (and the retired per-seed column helper once per seed: 8
     # walks of the
-    # shingle array per doc where one suffices)
-    d = docs.select(id_col, minhash_sig(F.col(text_col)).alias("_sig"))
+    # shingle array per doc where one suffices).  The input gets the
+    # parallelism floor (r7): the signature map is the expensive part
+    # and a single-row-group source would otherwise run it on one task.
+    d = spread_small_scan(docs).select(
+        id_col, minhash_sig(F.col(text_col)).alias("_sig"))
     return d.select(
         id_col,
         F.explode(F.array(
@@ -251,7 +275,9 @@ def _jaccard_blocked(docs: DataFrame, block_cols, tc_bucket):
     """(base, block_key_cols) for the Jaccard block join: base carries
     doc_id, block columns, distinct-token array, token count, and —
     in bucketed mode — the anchor bucket ``_bkt``."""
-    base = docs.select(
+    # parallelism floor (r7): the tokenization is the expensive map
+    # work and a single-row-group source plans as one scan task
+    base = spread_small_scan(docs).select(
         "doc_id", *block_cols,
         F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
         F.size(F.split(F.col("text"), " ")).cast("long").alias("tc"))
@@ -638,6 +664,10 @@ def embedding_neardup_pairs(vecs: DataFrame, threshold: float = 0.62,
     ``multi_probe`` joins each vector's Hamming-1 probe set against
     base cells so hyperplane-straddling near-dups aren't lost to the
     finer cells.  (q21's oracle wrapper pins bits=4, single-probe.)"""
+    # parallelism floor (r7): the within-cell pair cosines run in the
+    # join stage that scans this frame — a single-row-group source
+    # would put every pair on one task
+    vecs = spread_small_scan(vecs)
     if bits is None:
         # checkpoint FIRST, then probe: the corpus-size count and the
         # max-dim probe fold into ONE agg job over the materialized
