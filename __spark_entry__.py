@@ -211,11 +211,10 @@ def q12_dedup_minhash(spark, sf_dir):
 
 def q13_dedup_simhash(spark, sf_dir):
     """SimHash cluster sizes per (lang, simhash)
-    (ollie_spark.spark.textops.simhash16).
-
-    Parallelism floor (r7): a single-row-group documents file plans as
-    ONE scan task, serializing the whole per-doc simhash fold."""
-    d = _spread(_t(spark, sf_dir, "documents"))
+    (ollie_spark.spark.textops.simhash16).  (r7: a parallelism floor
+    on this scan measured neutral — the cost is per-process analysis
+    of the fold expression, not per-doc map work — so none is added.)"""
+    d = _t(spark, sf_dir, "documents")
     return (d.select("lang", simhash16(F.col("text")).alias("simhash"))
             .groupBy("lang", "simhash")
             .agg(F.count("*").alias("n"))

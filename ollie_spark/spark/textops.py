@@ -123,11 +123,11 @@ def _minhash_banded(docs: DataFrame, id_col: str,
     # two-select union evaluated the whole signature pipeline once per
     # band (and the retired per-seed column helper once per seed: 8
     # walks of the
-    # shingle array per doc where one suffices).  The input gets the
-    # parallelism floor (r7): the signature map is the expensive part
-    # and a single-row-group source would otherwise run it on one task.
-    d = spread_small_scan(docs).select(
-        id_col, minhash_sig(F.col(text_col)).alias("_sig"))
+    # shingle array per doc where one suffices).  (r7 measured a
+    # spread_small_scan floor here as NEUTRAL — the residual cost is
+    # per-process plan analysis, not map work — so the input is left
+    # untouched rather than adding an exchange for nothing.)
+    d = docs.select(id_col, minhash_sig(F.col(text_col)).alias("_sig"))
     return d.select(
         id_col,
         F.explode(F.array(
@@ -275,9 +275,9 @@ def _jaccard_blocked(docs: DataFrame, block_cols, tc_bucket):
     """(base, block_key_cols) for the Jaccard block join: base carries
     doc_id, block columns, distinct-token array, token count, and —
     in bucketed mode — the anchor bucket ``_bkt``."""
-    # parallelism floor (r7): the tokenization is the expensive map
-    # work and a single-row-group source plans as one scan task
-    base = spread_small_scan(docs).select(
+    # (r7: a spread_small_scan floor here measured neutral — left
+    # untouched, see _minhash_banded)
+    base = docs.select(
         "doc_id", *block_cols,
         F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
         F.size(F.split(F.col("text"), " ")).cast("long").alias("tc"))
